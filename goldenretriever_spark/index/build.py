@@ -1,0 +1,106 @@
+"""Inverted-index build: documents -> postings / doc_stats / corpus_stats.
+
+Replaces the reference's offline index build
+(/root/reference/src/dvc_pipeline_scripts/index_encode.py:48-61: read CSV ->
+dedupe -> TF-encode every response -> Annoy build -> pickle) with a Spark
+job graph that is pure DataFrame ops until the (optional) compression stage:
+
+    documents ──ids+sha──► docs' ──tokenize──► tokens
+        tokens ──explode──► (doc_id, term)
+        (doc_id, term) ──groupBy(term,doc_id).count()──► postings(term,doc_id,tf)
+        tokens ──size()──► doc_stats(doc_id, doc_len, sha256)
+        doc_stats ──agg──► corpus_stats(n_docs, avgdl)
+        postings ──groupBy(term)──► term_stats(term, df)
+
+Scale notes (designed for 10^12 files / 1000 executors):
+- doc_id = xxhash64(repo, path, commit): assigned map-side, no global sort.
+- tf aggregation is a single shuffle on (term, doc_id); Spark's 2-phase hash
+  aggregation does map-side partial counts, so hot terms like ``def`` do NOT
+  concentrate on one reducer at this stage (the key includes doc_id).
+- df/term_stats aggregates from postings with partial aggregation; exact
+  counts (not approx_count_distinct) because BM25 rank-identity needs exact df.
+- The only skew-sensitive shuffle is repartition-by-term for block packing;
+  that lives in blocks.py and salts hot terms by contiguous doc_id ranges.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goldenretriever_spark.tokenizer import tokens_column
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class InvertedIndex:
+    """In-memory handle to the index tables (each a DataFrame; persisted
+    variants are written/read by storage.py)."""
+
+    postings: DataFrame      # term:string, doc_id:long, tf:long
+    doc_stats: DataFrame     # doc_id:long, doc_len:long, sha256:string
+    corpus_stats: DataFrame  # n_docs:long, avgdl:double
+    term_stats: DataFrame    # term:string, df:long
+
+
+def with_doc_ids(documents: DataFrame) -> DataFrame:
+    """Attach doc_id + sha256(content) to an input_hint-shaped corpus.
+
+    doc_id = xxhash64(repo, path, commit) — deterministic, distributed, no
+    shuffle. If the frame already carries doc_id (driver testdata), keep it.
+    sha256 is the per-row content invariant (BASELINE.json input_hint).
+    """
+    out = documents
+    if "doc_id" not in documents.columns:
+        out = out.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+    return out.withColumn("sha256", F.sha2(F.col("content"), 256))
+
+
+def tokenized(documents: DataFrame, tokenizer: str = "simple") -> DataFrame:
+    """documents + doc_id/sha256 + tokens:array<string>."""
+    return with_doc_ids(documents).withColumn("tokens", tokens_column(F.col("content"), tokenizer))
+
+
+def build_index(documents: DataFrame, tokenizer: str = "simple") -> InvertedIndex:
+    """Build the uncompressed logical index from an input_hint corpus."""
+    toks = tokenized(documents, tokenizer).select("doc_id", "sha256", "tokens")
+
+    doc_stats = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("doc_len"),
+        "sha256",
+    )
+
+    postings = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    corpus_stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    return InvertedIndex(postings=postings, doc_stats=doc_stats, corpus_stats=corpus_stats, term_stats=term_stats)
+
+
+def check_doc_id_collisions(documents: DataFrame) -> int:
+    """Count xxhash64 doc_id collisions (distinct (repo,path,commit) keys that
+    share a doc_id). At 10^12 rows collisions are expected (~birthday bound);
+    the remediation is deterministic rehash with a seed column — exposed here
+    so the build job can assert 0 at test scale and route collisions at real
+    scale."""
+    d = with_doc_ids(documents)
+    return (
+        d.groupBy("doc_id")
+        .agg(F.countDistinct("repo", "path", "commit").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )

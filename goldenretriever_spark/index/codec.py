@@ -1,0 +1,90 @@
+"""Delta-gap + varint (LEB128) block codec, numpy-vectorized.
+
+Replaces the reference's pickle-an-Annoy-index persistence
+(/root/reference/src/prebuilt_index.py:44-72) with a compressed columnar
+posting format: sorted int64 doc_id runs are delta-gapped then varint-packed
+into a BinaryType column; term frequencies are varint-packed directly.
+
+All encode/decode work is whole-array numpy (no per-value Python loops):
+encode fans out over the ≤10 possible varint byte positions, decode walks the
+same ≤10 positions with boolean masks. Runs inside applyInPandas workers.
+
+Signed-int64 handling: doc_ids sort in *signed* order everywhere (the engine's
+tie-break discipline). Deltas of ascending signed int64 can exceed int64 range
+but are exact modulo 2^64, so diffs are viewed as uint64 and decode rebuilds
+via wrapping cumsum — bit-exact roundtrip for any sorted signed input.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized, ≤10 passes)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(nbytes)[:-1]])
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[offsets[mask] + j] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes back to a uint64 array (vectorized)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    ends = np.nonzero(is_end)[0]
+    starts = np.concatenate([[0], ends[:-1] + 1])
+    lengths = ends - starts + 1
+    vals = np.zeros(ends.size, dtype=np.uint64)
+    for j in range(int(lengths.max())):
+        mask = lengths > j
+        vals[mask] |= (b[starts[mask] + j] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(7 * j)
+    return vals
+
+
+def delta_encode_sorted_ids(doc_ids: np.ndarray) -> bytes:
+    """Encode a signed-int64 ascending-sorted id run: first value stored as its
+    raw 64-bit pattern, the rest as wrapping uint64 deltas, all varint-packed."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    deltas = np.empty(ids.size, dtype=np.uint64)
+    deltas[0] = ids[0:1].view(np.uint64)[0]
+    if ids.size > 1:
+        deltas[1:] = np.diff(ids).view(np.uint64)
+    return varint_encode(deltas)
+
+
+def delta_decode_sorted_ids(buf: bytes) -> np.ndarray:
+    """Inverse of delta_encode_sorted_ids -> int64 array."""
+    deltas = varint_decode(buf)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        acc = np.cumsum(deltas, dtype=np.uint64)
+    return acc.view(np.int64)
+
+
+def encode_tfs(tfs: np.ndarray) -> bytes:
+    """Varint-pack term frequencies (small positive ints -> ~1 byte each)."""
+    return varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64))
+
+
+def decode_tfs(buf: bytes) -> np.ndarray:
+    return varint_decode(buf).astype(np.int64)

@@ -1,0 +1,53 @@
+"""Codec roundtrip tests (SURVEY §5.2 item 3)."""
+
+import numpy as np
+import pytest
+
+from goldenretriever_spark.index import codec
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_varint_roundtrip_random(seed):
+    rng = np.random.default_rng(seed)
+    # mix magnitudes so every varint length 1..10 bytes occurs
+    vals = rng.integers(0, 2**63, size=1000, dtype=np.uint64) >> rng.integers(
+        0, 63, size=1000, dtype=np.uint64
+    )
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(vals)), vals)
+
+
+def test_varint_edge_values():
+    vals = np.array([0, 1, 127, 128, 2**14 - 1, 2**14, 2**63, 2**64 - 1], dtype=np.uint64)
+    assert np.array_equal(codec.varint_decode(codec.varint_encode(vals)), vals)
+
+
+def test_varint_empty():
+    assert codec.varint_encode(np.empty(0, dtype=np.uint64)) == b""
+    assert codec.varint_decode(b"").size == 0
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_delta_roundtrip_signed_sorted(seed):
+    rng = np.random.default_rng(seed)
+    # signed int64 across the full range incl. negatives (xxhash64 doc_ids)
+    ids = np.sort(rng.integers(-(2**63), 2**63 - 1, size=2000, dtype=np.int64))
+    out = codec.delta_decode_sorted_ids(codec.delta_encode_sorted_ids(ids))
+    assert np.array_equal(out, ids)
+
+
+def test_delta_extreme_span():
+    ids = np.array([-(2**63), -1, 0, 1, 2**63 - 1], dtype=np.int64)
+    out = codec.delta_decode_sorted_ids(codec.delta_encode_sorted_ids(ids))
+    assert np.array_equal(out, ids)
+
+
+def test_tf_roundtrip():
+    tfs = np.array([1, 1, 2, 300, 70000], dtype=np.int64)
+    assert np.array_equal(codec.decode_tfs(codec.encode_tfs(tfs)), tfs)
+
+
+def test_compression_is_compact():
+    # dense sorted run of small gaps must be ~1-2 bytes/id, not 8
+    ids = np.arange(0, 100_000, 3, dtype=np.int64)
+    buf = codec.delta_encode_sorted_ids(ids)
+    assert len(buf) < ids.size * 2
