@@ -171,7 +171,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_topk_sql(),
-        "ir_postings_tf": f"WITH {_TOKS_CTE} SELECT term, doc_id, tf FROM postings",
+        "ir_postings_tf": f"""
+WITH {_TOKS_CTE}
+SELECT p.term, p.doc_id, p.tf, s.doc_len
+FROM postings p JOIN doc_stats s USING (doc_id)
+""",
         "ir_doc_stats_sha256": f"""
 WITH {_TOKS_CTE}
 SELECT d.doc_id, s.doc_len, sha256(d.text) AS sha256

@@ -1,0 +1,130 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (consumed by tools/scaling_bench.py -> BENCH/BASELINE.md):
+    build_docs, build_files_per_sec — index-build throughput on the seeded
+    synthetic source-code corpus (BASELINE.json's files/sec metric).
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_DOCS (synthetic corpus size, default 20000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+CORPUS_CACHE = f"/tmp/gr_bench_corpus_{BENCH_DOCS}.parquet"
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.query import bm25
+    from goldenretriever_spark.query.wand import wand_top_k
+    from goldenretriever_spark.session import get_spark
+
+    spark = get_spark("gr-bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
+    timings: dict[str, float] = {}
+
+    # -- corpus: generate once per size, cache as parquet so the build bench
+    #    measures indexing, not generation
+    if not os.path.exists(CORPUS_CACHE):
+        corpus.synth_corpus(spark, BENCH_DOCS, seed=42).write.mode("overwrite").parquet(
+            CORPUS_CACHE
+        )
+    docs = spark.read.parquet(CORPUS_CACHE)
+
+    # -- q1: full index build (postings + stats + compressed blocks) ---------
+    t0 = time.time()
+    idx = build_index(docs, tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=128, target_docs_per_group=250_000)
+    n_blocks = blocks.count()  # materializes the whole build
+    timings["ir_index_build"] = time.time() - t0
+    build_files_per_sec = BENCH_DOCS / timings["ir_index_build"]
+
+    # cache stats for the query benches (a production index is prebuilt)
+    for df in (idx.postings, idx.doc_stats, idx.corpus_stats, idx.term_stats):
+        df.cache().count()
+    blocks = blocks.cache()
+    blocks.count()
+
+    qset = corpus.reference_queries(50, seed=42)
+    qlist = [(int(r.query_id), r.query_str) for r in qset.itertuples()]
+
+    # -- q2: brute-force BM25, 50-query batch --------------------------------
+    t0 = time.time()
+    terms = bm25.query_terms_df(spark, qlist)
+    bm25.top_k(idx, terms, k=10).count()
+    timings["bm25_brute_batch50"] = time.time() - t0
+
+    # -- q3: block-max WAND over the compressed index ------------------------
+    t0 = time.time()
+    wand_top_k(
+        spark, blocks, idx.corpus_stats, qlist, k=10,
+        n_term_buckets=None,
+    ).count()
+    timings["bm25_wand_batch50"] = time.time() - t0
+
+    # -- q4: TPC-H-ish pricing summary (agg) over sf lineitem ----------------
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    t0 = time.time()
+    (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    timings["tpch_q1_pricing"] = time.time() - t0
+
+    # -- q5: join + top-k over orders/customer -------------------------------
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    t0 = time.time()
+    (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+        .limit(5)
+        .collect()
+    )
+    timings["tpch_q3_join_topk"] = time.time() - t0
+
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "gr_spark_headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "build_docs": BENCH_DOCS,
+                "build_files_per_sec": round(build_files_per_sec, 1),
+                "n_posting_blocks": n_blocks,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

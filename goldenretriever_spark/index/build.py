@@ -41,7 +41,7 @@ class InvertedIndex:
     """In-memory handle to the index tables (each a DataFrame; persisted
     variants are written/read by storage.py)."""
 
-    postings: DataFrame      # term:string, doc_id:long, tf:long
+    postings: DataFrame      # term:string, doc_id:long, tf:long, doc_len:long
     doc_stats: DataFrame     # doc_id:long, doc_len:long, sha256:string
     corpus_stats: DataFrame  # n_docs:long, avgdl:double
     term_stats: DataFrame    # term:string, df:long
@@ -65,9 +65,20 @@ def tokenized(documents: DataFrame, tokenizer: str = "simple") -> DataFrame:
     return with_doc_ids(documents).withColumn("tokens", tokens_column(F.col("content"), tokenizer))
 
 
-def build_index(documents: DataFrame, tokenizer: str = "simple") -> InvertedIndex:
-    """Build the uncompressed logical index from an input_hint corpus."""
+def build_index(documents: DataFrame, tokenizer: str = "simple", persist: bool = True) -> InvertedIndex:
+    """Build the uncompressed logical index from an input_hint corpus.
+
+    persist=True keeps the tokenized frame and postings materialized
+    (MEMORY_AND_DISK): four downstream branches (postings, doc_stats,
+    corpus_stats, term_stats) would otherwise each re-run the scan+tokenize.
+    At warehouse scale the same role is played by staging postings to a table
+    (index/checkpoint.py does exactly that).
+    """
+    from pyspark import StorageLevel
+
     toks = tokenized(documents, tokenizer).select("doc_id", "sha256", "tokens")
+    if persist:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     doc_stats = toks.select(
         "doc_id",
@@ -75,11 +86,21 @@ def build_index(documents: DataFrame, tokenizer: str = "simple") -> InvertedInde
         "sha256",
     )
 
+    # doc_len rides along in the groupBy key (same cardinality as
+    # (term,doc_id)) so neither the build nor the query path ever needs a
+    # 10^12-row join back to doc_stats for BM25's dl term.
     postings = (
-        toks.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
+        toks.select(
+            "doc_id",
+            F.size("tokens").cast("long").alias("doc_len"),
+            F.explode("tokens").alias("term"),
+        )
+        .groupBy("term", "doc_id", "doc_len")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", "doc_id", "tf", "doc_len")
     )
+    if persist:
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
 
     corpus_stats = doc_stats.agg(
         F.count(F.lit(1)).alias("n_docs"),

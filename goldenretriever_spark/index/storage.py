@@ -1,0 +1,82 @@
+"""Index persistence: write/read the index tables as partitioned Parquet.
+
+Replaces the reference's Minio blob up/download of pickled indexes
+(/root/reference/src/minio_handler.py:24-46, src/prebuilt_index.py:44-72)
+with catalog tables. Iceberg is the deployment target (snapshots give free
+lineage + MERGE for feedback); the sandbox has no Iceberg runtime jar, so the
+writer degrades to plain Parquet ``partitionBy`` — call-sites are isolated
+here so a real cluster flips ``format='iceberg'`` only.
+
+Layout (designed for 10^12-file scale):
+- posting_blocks/  partitioned by term_bucket (pmod(xxhash64(term), B)) —
+  query-time scans prune to the buckets holding the query's terms; the
+  per-bucket file count is what checkpointing tracks.
+- doc_stats/       repartitioned by doc_id so the query-time doc_len join is
+  co-partitioned (bucketed-table join on a real warehouse).
+- corpus_stats/    single row.
+- term_stats/      partitioned by term_bucket like posting_blocks.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goldenretriever_spark.index.build import InvertedIndex
+
+
+def bucket_col(term_col: str = "term", n_buckets: int = 64):
+    return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
+
+
+def write_index(
+    index: InvertedIndex,
+    path: str,
+    blocks: DataFrame | None = None,
+    n_term_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    if blocks is not None:
+        (
+            blocks.repartition("term_bucket")
+            .write.mode(mode)
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(path, "posting_blocks"))
+        )
+    index.doc_stats.repartition(F.col("doc_id")).write.mode(mode).parquet(
+        os.path.join(path, "doc_stats")
+    )
+    index.corpus_stats.write.mode(mode).parquet(os.path.join(path, "corpus_stats"))
+    (
+        index.term_stats.withColumn("term_bucket", bucket_col("term", n_term_buckets))
+        .repartition("term_bucket")
+        .write.mode(mode)
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(path, "term_stats"))
+    )
+
+
+class StoredIndex:
+    """Handle to a persisted index directory."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    @property
+    def posting_blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "posting_blocks"))
+
+    @property
+    def doc_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "doc_stats"))
+
+    @property
+    def corpus_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "corpus_stats"))
+
+    @property
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.path, "term_stats"))

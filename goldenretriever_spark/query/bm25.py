@@ -55,16 +55,14 @@ def score_candidates(index: InvertedIndex, terms: DataFrame) -> DataFrame:
     """(query_id, term) x index -> (query_id, doc_id, score).
 
     The query-terms side is tiny -> broadcast; term_stats for the matched
-    terms is tiny -> broadcast; the doc_stats join keys on doc_id and is the
-    one genuine shuffle (co-partition postings and doc_stats on doc_id at
-    write time to make it a zero-shuffle bucketed join at scale).
+    terms is tiny -> broadcast; postings carry doc_len, so no join against
+    doc_stats is ever needed — the only wide table in the plan is the
+    postings scan itself (term-bucket-pruned when reading a stored index).
     """
     matched = index.postings.join(F.broadcast(terms), "term")
     stats = index.term_stats.join(F.broadcast(terms.select("term").distinct()), "term")
     matched = matched.join(F.broadcast(stats), "term")
-    matched = matched.join(index.doc_stats.select("doc_id", "doc_len"), "doc_id")
-    cs = F.broadcast(index.corpus_stats)
-    matched = matched.crossJoin(cs)
+    matched = matched.crossJoin(F.broadcast(index.corpus_stats))
     contribution = (
         idf_col(F.col("n_docs").cast("double"), F.col("df").cast("double"))
         * tfnorm_col(F.col("tf").cast("double"), F.col("doc_len").cast("double"), F.col("avgdl"))

@@ -1,0 +1,162 @@
+"""Block-max pruned top-k over the compressed index (lossless).
+
+Spark-native adaptation of block-max WAND (Ding & Suel, SIGIR 2011). The
+classic algorithm walks per-term cursors with a shared heap — inherently
+sequential. The set-oriented equivalent here keeps the pruning math but
+expresses it as two DataFrame phases, which is what distributes:
+
+Phase 1 (θ seeding): per query, decode only the highest-upper-bound blocks
+(cumulative n ≥ seed_factor*k docs), score them exactly for the decoded terms
+only. Partial BM25 sums are LOWER bounds of true scores, so the kth best
+partial score is a valid pruning threshold θ.
+
+Phase 2 (pruning + exact scoring): block b of term t survives iff
+    ub(b) + Σ_{t'≠t} max_ub(t') ≥ θ_query .
+Any doc whose true score ≥ θ has ALL of its blocks surviving (each block's
+bound dominates the doc's score), so it is scored exactly in phase 2; docs
+with pruned blocks can only be under-scored, which can only rank them lower —
+the reported top-k is therefore identical to brute force (tested for every
+query in tests/test_wand.py).
+
+Everything is DataFrame ops: block metadata joins are broadcast (query side
+is tiny), decode is a vectorized mapInPandas over the surviving block rows,
+and the storage layout (partitionBy term_bucket) turns the initial block
+lookup into a partition-pruned parquet scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goldenretriever_spark.index.build import B, K1
+from goldenretriever_spark.query.bm25 import idf_col, query_terms_df
+
+DECODED_SCHEMA = "query_id long, term string, idf double, doc_id long, tf long, doc_len long"
+
+
+def _decode_matched(matched: DataFrame) -> DataFrame:
+    """(query_id, term, idf, blobs) -> exploded (query_id, term, idf, doc_id,
+    tf, doc_len). Blocks are self-contained (dls stored varint alongside tfs),
+    so scoring needs no join back to doc_stats."""
+    from goldenretriever_spark.index.codec import delta_decode_sorted_ids, varint_decode
+
+    def unpack(batches):
+        for pdf in batches:
+            out = {"query_id": [], "term": [], "idf": [], "doc_id": [], "tf": [], "doc_len": []}
+            for qid, term, idf, id_buf, tf_buf, dl_buf in zip(
+                pdf["query_id"], pdf["term"], pdf["idf"],
+                pdf["doc_ids_delta_varint"], pdf["tfs_varint"], pdf["dls_varint"],
+            ):
+                ids = delta_decode_sorted_ids(bytes(id_buf))
+                tfs = varint_decode(bytes(tf_buf)).astype(np.int64)
+                dls = varint_decode(bytes(dl_buf)).astype(np.int64)
+                n = len(ids)
+                out["query_id"].append(np.full(n, qid, dtype=np.int64))
+                out["term"].extend([term] * n)
+                out["idf"].append(np.full(n, idf, dtype=np.float64))
+                out["doc_id"].append(ids)
+                out["tf"].append(tfs)
+                out["doc_len"].append(dls)
+            if not out["term"]:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out["query_id"]),
+                    "term": out["term"],
+                    "idf": np.concatenate(out["idf"]),
+                    "doc_id": np.concatenate(out["doc_id"]),
+                    "tf": np.concatenate(out["tf"]),
+                    "doc_len": np.concatenate(out["doc_len"]),
+                }
+            )
+
+    cols = ["query_id", "term", "idf", "doc_ids_delta_varint", "tfs_varint", "dls_varint"]
+    return matched.select(*cols).mapInPandas(unpack, schema=DECODED_SCHEMA)
+
+
+def _exact_scores(decoded: DataFrame, avgdl: float) -> DataFrame:
+    """decoded postings -> (query_id, doc_id, score) with exact BM25 sums."""
+    contribution = F.col("idf") * (
+        F.col("tf")
+        / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len").cast("double") / F.lit(avgdl)))
+    )
+    return (
+        decoded.withColumn("c", contribution)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score"))
+    )
+
+
+def wand_top_k(
+    spark: SparkSession,
+    posting_blocks: DataFrame,
+    corpus_stats: DataFrame,
+    queries,
+    k: int = 10,
+    tokenizer: str = "simple",
+    seed_factor: int = 4,
+    n_term_buckets: int | None = 64,
+) -> DataFrame:
+    """Top-k per query over the compressed index; rank-identical to brute force."""
+    row = corpus_stats.collect()[0]
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+
+    qterms = query_terms_df(spark, queries, tokenizer)
+
+    if n_term_buckets and "term_bucket" in posting_blocks.columns:
+        # partition pruning: only scan buckets that contain a query term
+        buckets = [
+            r["b"]
+            for r in qterms.select(
+                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+
+    meta = (
+        posting_blocks.join(F.broadcast(qterms), "term")
+        .withColumn("idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double")))
+        .withColumn("ub", F.col("idf") * F.col("block_max_tf_norm"))
+    )
+    meta = meta.cache()
+
+    # per-(query, term) best possible block bound
+    term_ub = meta.groupBy("query_id", "term").agg(F.max("ub").alias("max_ub"))
+    # Σ over the query's terms of max_ub  (used as "other terms" bound)
+    query_ub = term_ub.groupBy("query_id").agg(F.sum("max_ub").alias("sum_max_ub"))
+
+    # ---- phase 1: seed θ from the highest-ub blocks per query ----
+    w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("term"), F.asc("block_id"))
+    seed_blocks = (
+        meta.withColumn(
+            "cum_n",
+            F.sum("n").over(w_ub.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .filter(F.coalesce(F.col("cum_n"), F.lit(0)) < seed_factor * k)
+    )
+    seed_scores = _exact_scores(_decode_matched(seed_blocks), avgdl)
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    theta = (
+        seed_scores.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == k)
+        .select("query_id", F.col("score").alias("theta"))
+    )
+
+    # ---- phase 2: prune blocks, decode survivors, exact-score ----
+    survivors = (
+        meta.join(F.broadcast(term_ub), ["query_id", "term"])
+        .join(F.broadcast(query_ub), "query_id")
+        .join(F.broadcast(theta), "query_id", "left")
+        # bound for docs in this block: own ub + best-case of the other terms
+        .withColumn("bound", F.col("ub") + (F.col("sum_max_ub") - F.col("max_ub")))
+        .filter(F.col("theta").isNull() | (F.col("bound") >= F.col("theta")))
+    )
+    scores = _exact_scores(_decode_matched(survivors), avgdl)
+    return (
+        scores.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

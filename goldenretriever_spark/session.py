@@ -40,9 +40,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # NOTE small heap on purpose: on this VM a large lazily-faulted heap
+        # causes GC page-fault storms (observed 50-66% GC time at 64g); the
+        # engine's working data is columnar-cached and spills cleanly.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # CPU-heavy per-row work (tokenize+explode) needs more input splits
+        # than the 128MB default gives on small-ish files
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():
