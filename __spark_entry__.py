@@ -159,16 +159,54 @@ def _term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from goldenretriever_spark.operators import ann, dedup, relational, textstats
+
     return {
+        # --- IR / BM25 core (SURVEY §2.1, §2.3 J5, §2.4 A7-A8, §2.5-2.6) ---
         "bm25_topk": _bm25_topk,
         "ir_postings_tf": _postings_tf,
         "ir_doc_stats_sha256": _doc_stats,
         "ir_corpus_stats": _corpus_stats,
         "ir_term_df": _term_df,
+        # --- relational surface (SURVEY §2.2-2.8) ---
+        "rel_pricing_summary": relational.q_pricing_summary,
+        "rel_join_topk": relational.q_join_topk,
+        "rel_rollup_metrics": relational.q_rollup_metrics,
+        "rel_window_rank": relational.q_window_rank,
+        "rel_window_running": relational.q_window_running,
+        "rel_semi_join": relational.q_semi_join,
+        "rel_anti_join": relational.q_anti_join,
+        "rel_dense_rank_ids": relational.q_dense_rank_ids,
+        "rel_union_distinct": relational.q_union_distinct,
+        "rel_filter_project_fill": relational.q_filter_project_fill,
+        "rel_grouping_sets_region": relational.q_grouping_sets_region,
+        # --- text analysis (training-data ops) ---
+        "txt_token_count": textstats.q_token_count,
+        "txt_quality_score": textstats.q_quality_score,
+        "txt_lang_id": textstats.q_lang_id,
+        "txt_fingerprint": textstats.q_fingerprint,
+        # --- deduplication (training-data ops) ---
+        "dedup_exact": dedup.q_exact_dedup,
+        "dedup_minhash_signatures": dedup.q_minhash_signatures,
+        "dedup_minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
+        "dedup_simhash": dedup.q_simhash,
+        "dedup_embedding_neardup": dedup.q_embedding_neardup_pairs,
+        # --- similarity search ---
+        "ann_brute_topk": ann.q_ann_brute_topk,
+        "ann_lsh_topk": ann.q_ann_lsh_topk,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from goldenretriever_spark.plans.oracles import all_oracles
+
+    out = all_oracles()
+    out.update(_ir_oracles())
+    return out
+
+
+def _ir_oracles() -> dict[str, str]:
     return {
         "bm25_topk": _bm25_topk_sql(),
         "ir_postings_tf": f"""

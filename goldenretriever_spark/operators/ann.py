@@ -1,0 +1,110 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the exactness baseline. Dot products are pure
+  Catalyst higher-order functions (zip_with + aggregate), JVM-side; ranking
+  is the same Window top-k discipline as BM25 (desc score, asc id).
+- LSH-bucketed variant (the scale path): random-hyperplane signatures with
+  DETERMINISTIC seeded hyperplanes shipped as literal arrays, so the bucket
+  assignment is reproducible and the oracle can compute identical buckets.
+  Probing only the query's bucket makes cost ~n/2^bits per query; recall is
+  traded for that factor (classic SimHash-LSH, Charikar 2002).
+
+Reference analog: SimpleNNIndex / Annoy angular top-k
+(/root/reference/src/prebuilt_index.py:5-42) — Annoy is also an approximate
+angular index; the brute-force path is the reference's own correctness
+oracle (models.py:128-133).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 4  # 16 buckets
+EMB_DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dot_col(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_col(x: Column, y: Column) -> Column:
+    return dot_col(x, y) / (F.sqrt(dot_col(x, x)) * F.sqrt(dot_col(y, y)))
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM, seed: int = 42) -> list[list[float]]:
+    """Deterministic seeded random hyperplanes (rounded so the SQL literal
+    and the Spark literal are the same doubles)."""
+    rng = np.random.default_rng([seed, 777])
+    return [[round(float(v), 6) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    out = F.lit(0)
+    for p, plane in enumerate(planes):
+        d = dot_col(vec, F.array(*[F.lit(v) for v in plane]))
+        out = out + F.when(d > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return out
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str, n_queries: int = 5) -> DataFrame:
+    """Fixed query set: the first n embeddings by vec_id (deterministic)."""
+    e = _emb(spark, sf_dir)
+    return (
+        e.orderBy("vec_id")
+        .limit(n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Exact cosine top-k per query vector (self-queries rank first with
+    cosine=1 — kept, as the reference's Annoy index also returns the item
+    itself)."""
+    e = _emb(spark, sf_dir)
+    q = _query_vectors(spark, sf_dir)
+    scored = q.crossJoin(e).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("qvec"), F.col("embedding")) * 10000).cast("long").alias(
+            "cosine_q"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_q", "rnk")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """LSH-bucketed cosine top-k: both sides bucket by hyperplane sign bits;
+    candidates = same-bucket vectors only (equi-join, prunes ~15/16 of the
+    corpus at 4 planes), then exact cosine re-rank inside the bucket."""
+    planes = hyperplanes()
+    e = _emb(spark, sf_dir).withColumn("bucket", bucket_col(F.col("embedding"), planes))
+    q = _query_vectors(spark, sf_dir).withColumn("bucket", bucket_col(F.col("qvec"), planes))
+    scored = q.join(e, "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("qvec"), F.col("embedding")) * 10000).cast("long").alias(
+            "cosine_q"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_q", "rnk")
+    )
