@@ -158,6 +158,131 @@ def _term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_index(_documents(spark, sf_dir), tokenizer="simple").term_stats
 
 
+def _kb_build_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kb data model end-to-end (SURVEY §2.1 S1-S4, §2.3 J1-J2): synthesize
+    QA pairs from documents (query = first 3 tokens), build the kb tables
+    with dense ids, flatten through the mapping."""
+    from goldenretriever_spark.sources.kb import build_kb, create_df
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    qa = d.select(
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("query_string"),
+        F.col("text").alias("raw_string"),
+        F.col("lang").alias("context_string"),
+    )
+    kb = build_kb(qa, kb_name="docs")
+    flat = create_df(kb)
+    return flat.select(
+        "query_id", "response_id", "query_string", F.md5("processed_string").alias("proc_md5")
+    ).dropDuplicates()
+
+
+def _eval_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR + recall@k per kb with grand total (SURVEY A1-A4) over the BM25
+    flagship ranking; qrels = min doc_id in each query's top-10 (deterministic
+    in both engines), kb = query parity."""
+    from goldenretriever_spark.operators.evaluation import metrics_per_kb
+
+    ranked = _bm25_topk(spark, sf_dir).withColumnRenamed("score_q", "score")
+    qrels = ranked.groupBy("query_id").agg(F.min("doc_id").alias("doc_id"))
+    ranked_kb = ranked.withColumn(
+        "kb_name", F.when(F.col("query_id") % 2 == 0, "even").otherwise("odd")
+    )
+    return metrics_per_kb(ranked_kb, qrels)
+
+
+def _fn_clean_txt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference scalar functions clean_txt / words-regex (SURVEY F1/F6)."""
+    from goldenretriever_spark.functions.text import clean_txt, words_and_punct
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.md5(clean_txt(F.col("text"))).alias("clean_md5"),
+        F.size(words_and_punct(F.col("text"))).cast("long").alias("n_words"),
+    )
+
+
+def _media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synth binary payloads -> Arrow-batched metadata
+    decode (deterministic fake codec; see operators/multimodal.py)."""
+    from goldenretriever_spark.operators.multimodal import q_media_decode
+
+    return q_media_decode(spark, sf_dir)
+
+
+def _sink_querylog_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-log append + feedback latest-wins merge (SURVEY S10-S11):
+    write a deterministic log + two feedback generations to a scratch dir,
+    return the merged view's stable columns."""
+    import shutil
+    import tempfile
+
+    from goldenretriever_spark.sources.sinks import (
+        log_queries,
+        querylog_view,
+        upload_feedback,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gr_sink_")
+    try:
+        ql = spark.createDataFrame(
+            [(f"q{i}", f"query text {i}", [f"resp{i}a", f"resp{i}b"]) for i in range(5)],
+            "query_id string, query_text string, responses array<string>",
+        )
+        log_queries(spark, tmp, ql)
+        fb = spark.createDataFrame(
+            [
+                ("q1", [True], "2024-01-01 00:00:00"),
+                ("q1", [True, False, True], "2024-01-02 00:00:00"),  # latest wins
+                ("q3", [False, False], "2024-01-01 12:00:00"),
+            ],
+            "query_id string, is_correct array<boolean>, feedback_timestamp string",
+        ).withColumn("feedback_timestamp", F.col("feedback_timestamp").cast("timestamp"))
+        upload_feedback(spark, tmp, fb)
+        view = querylog_view(spark, tmp)
+        return spark.createDataFrame(
+            view.select(
+                "query_id", "query_text", "responses", "is_correct"
+            ).collect(),
+            "query_id string, query_text string, responses array<string>, is_correct array<boolean>",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental index build (SURVEY §2.9): drain the
+    corpus through readStream+foreachBatch appends; the streamed postings
+    must equal the batch build (oracle = the batch postings SQL)."""
+    import shutil
+    import tempfile
+
+    from goldenretriever_spark.corpus import driver_documents
+    from goldenretriever_spark.streaming.incremental import (
+        incremental_postings_build,
+        streamed_index_views,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gr_stream_")
+    try:
+        docs = driver_documents(spark, sf_dir).select(
+            "repo", "path", "commit", "lang", "content", "doc_id"
+        )
+        docs.repartition(4).write.mode("overwrite").parquet(f"{tmp}/in")
+        incremental_postings_build(
+            spark, f"{tmp}/in", f"{tmp}/out",
+            schema="repo string, path string, commit string, lang string, content string, doc_id long",
+        )
+        postings = streamed_index_views(spark, f"{tmp}/out").postings
+        return spark.createDataFrame(
+            postings.collect(), "term string, doc_id long, tf long, doc_len long"
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from goldenretriever_spark.operators import ann, dedup, relational, textstats
 
@@ -195,6 +320,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
         "ann_lsh_topk": ann.q_ann_lsh_topk,
+        # --- kb data model + eval harness + functions + sinks + streaming ---
+        "kb_build_flatten": _kb_build_flatten,
+        "eval_metrics_rollup": _eval_metrics_rollup,
+        "fn_clean_txt": _fn_clean_txt,
+        "media_decode": _media_decode,
+        "sink_querylog_feedback": _sink_querylog_feedback,
+        "stream_incremental_postings": _stream_incremental_postings,
     }
 
 
@@ -206,8 +338,75 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
+def _kb_flatten_sql() -> str:
+    return r"""
+WITH qa AS (
+  SELECT array_to_string(list_slice(string_split_regex(lower(trim(text)), '\s+'), 1, 3), ' ') AS query_string,
+         text AS raw_string, lang AS context_string
+  FROM documents),
+qa2 AS (SELECT *, regexp_replace(context_string || ' ' || raw_string, '\n', '', 'g') AS processed_string FROM qa),
+rid AS (SELECT raw_string, row_number() OVER (ORDER BY raw_string ASC) - 1 AS response_id
+        FROM (SELECT DISTINCT raw_string FROM qa2)),
+qid AS (SELECT query_string, row_number() OVER (ORDER BY query_string ASC) - 1 AS query_id
+        FROM (SELECT DISTINCT query_string FROM qa2))
+SELECT DISTINCT query_id, response_id, query_string, md5(processed_string) AS proc_md5
+FROM qa2 JOIN rid USING (raw_string) JOIN qid USING (query_string)
+"""
+
+
+def _eval_rollup_sql() -> str:
+    recalls = ",\n       ".join(
+        f"CAST(round(avg(CASE WHEN gold_rank <= {k} THEN 1.0 ELSE 0.0 END) * 10000) AS BIGINT) AS recall_at_{k}_q"
+        for k in (1, 2, 3)
+    )
+    return f"""
+WITH ranked AS ({_bm25_topk_sql()}),
+qrels AS (SELECT query_id, min(doc_id) AS doc_id FROM ranked GROUP BY 1),
+g AS (SELECT CASE WHEN r.query_id % 2 = 0 THEN 'even' ELSE 'odd' END AS kb_name,
+             r.query_id, min(r.rank) AS gold_rank
+      FROM ranked r JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+      GROUP BY 1, 2)
+SELECT coalesce(kb_name, 'ALL') AS kb_name,
+       count(*)::BIGINT AS n_queries,
+       CAST(round(avg(1.0 / gold_rank) * 10000) AS BIGINT) AS mrr_q,
+       {recalls}
+FROM g GROUP BY ROLLUP (kb_name)
+"""
+
+
 def _ir_oracles() -> dict[str, str]:
     return {
+        "kb_build_flatten": _kb_flatten_sql(),
+        "eval_metrics_rollup": _eval_rollup_sql(),
+        "fn_clean_txt": r"""
+SELECT doc_id,
+       md5(rtrim(lower(regexp_replace(regexp_replace(text, '\n', '. ', 'g'), '\.\. ', '. ', 'g')))) AS clean_md5,
+       len(regexp_extract_all(text, '([\w'']+|[.,!?;])', 1))::BIGINT AS n_words
+FROM documents
+""",
+        "media_decode": """
+SELECT doc_id,
+       CASE WHEN 1 + (doc_id % 4) > 1 THEN 'video' ELSE 'image' END AS kind,
+       CAST(16 + (doc_id * 7) % 240 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 13) % 240 AS INTEGER) AS height,
+       CAST(1 + (doc_id % 4) AS INTEGER) AS n_frames,
+       CAST(8 + octet_length(encode(text)) AS BIGINT) AS payload_bytes
+FROM documents
+""",
+        "sink_querylog_feedback": """
+SELECT * FROM (VALUES
+  ('q0', 'query text 0', ['resp0a','resp0b'], NULL::BOOLEAN[]),
+  ('q1', 'query text 1', ['resp1a','resp1b'], [true,false,true,false,false]),
+  ('q2', 'query text 2', ['resp2a','resp2b'], NULL::BOOLEAN[]),
+  ('q3', 'query text 3', ['resp3a','resp3b'], [false,false,false,false,false]),
+  ('q4', 'query text 4', ['resp4a','resp4b'], NULL::BOOLEAN[])
+) AS t(query_id, query_text, responses, is_correct)
+""",
+        "stream_incremental_postings": f"""
+WITH {_TOKS_CTE}
+SELECT p.term, p.doc_id, p.tf, s.doc_len
+FROM postings p JOIN doc_stats s USING (doc_id)
+""",
         "bm25_topk": _bm25_topk_sql(),
         "ir_postings_tf": f"""
 WITH {_TOKS_CTE}

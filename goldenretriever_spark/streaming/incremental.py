@@ -1,0 +1,79 @@
+"""Incremental index maintenance via Structured Streaming (SURVEY §2.9
+stretch: the reference is batch-only; its closest analogs are the append-only
+querylog and late feedback updates).
+
+``incremental_postings_build`` watches a directory of document parquet files
+with readStream + Trigger.AvailableNow and folds each micro-batch into the
+postings store inside foreachBatch:
+
+    new docs -> tokenize -> (term, doc_id, tf, doc_len) -> append partition
+
+Because (term, doc_id) pairs from distinct files never collide (doc_id is
+content-addressed per file), per-batch postings append WITHOUT a merge
+re-aggregation; term_stats/corpus_stats are cheap view-time aggregates over
+the appended postings. The end state after draining equals the batch build
+over the union of inputs — asserted in tests/test_streaming.py.
+
+At scale the same structure runs continuously (Trigger.ProcessingTime) with
+checkpointLocation giving exactly-once file processing; the posting-block
+compaction job (index/blocks.py) runs periodically over the appended deltas.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goldenretriever_spark.index.build import build_index
+
+DOCS_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def incremental_postings_build(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    tokenizer: str = "simple",
+    schema: str | None = None,
+) -> None:
+    """Drain all currently-available files into the postings store.
+
+    Exactly-once per input file via the streaming checkpoint; safe to call
+    repeatedly as new files land (the resume story for the ingest side,
+    complementing the per-bucket build checkpoints). ``schema`` may carry an
+    explicit doc_id column (kept by build_index); default corpora derive it
+    from (repo, path, commit)."""
+    stream = spark.readStream.schema(schema or DOCS_SCHEMA).parquet(input_dir)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        idx = build_index(batch_df, tokenizer=tokenizer, persist=False)
+        idx.postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
+        idx.doc_stats.write.mode("append").parquet(os.path.join(out_dir, "doc_stats"))
+
+    (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", os.path.join(out_dir, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def streamed_index_views(spark: SparkSession, out_dir: str):
+    """Assemble the logical index over the streamed postings store:
+    corpus/term stats recomputed as aggregates (cheap relative to postings)."""
+    from goldenretriever_spark.index.build import InvertedIndex
+
+    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+    corpus_stats = doc_stats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    )
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return InvertedIndex(
+        postings=postings, doc_stats=doc_stats, corpus_stats=corpus_stats, term_stats=term_stats
+    )
