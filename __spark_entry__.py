@@ -178,6 +178,44 @@ def _kb_build_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).dropDuplicates()
 
 
+def _bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BM25 score attribution (word importance, SURVEY F13): the
+    additive per-(query,term,doc) contribution, quantized."""
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.query import bm25
+
+    idx = build_index(_documents(spark, sf_dir), tokenizer="simple")
+    terms = bm25.query_terms_df(spark, FLAGSHIP_QUERIES, tokenizer="simple")
+    return bm25.explain_contributions(idx, terms).select(
+        "query_id",
+        "doc_id",
+        "term",
+        F.round(F.col("contribution") * 10000).cast("long").alias("contribution_q"),
+    )
+
+
+def _ranked_and_qrels(spark: SparkSession, sf_dir: str):
+    ranked = _bm25_topk(spark, sf_dir).withColumnRenamed("score_q", "score")
+    qrels = ranked.groupBy("query_id").agg(F.min("doc_id").alias("doc_id"))
+    return ranked, qrels
+
+
+def _eval_accuracy_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named accuracy@k metric (SURVEY A3) over the flagship ranking."""
+    from goldenretriever_spark.operators.evaluation import accuracy_at_k
+
+    ranked, qrels = _ranked_and_qrels(spark, sf_dir)
+    return accuracy_at_k(ranked, qrels)
+
+
+def _eval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining make_closewrong (SURVEY W4/J6 composite)."""
+    from goldenretriever_spark.operators.evaluation import hard_negatives
+
+    ranked, qrels = _ranked_and_qrels(spark, sf_dir)
+    return hard_negatives(ranked, qrels)
+
+
 def _eval_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MRR + recall@k per kb with grand total (SURVEY A1-A4) over the BM25
     flagship ranking; qrels = min doc_id in each query's top-10 (deterministic
@@ -241,12 +279,17 @@ def _sink_querylog_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id string, is_correct array<boolean>, feedback_timestamp string",
         ).withColumn("feedback_timestamp", F.col("feedback_timestamp").cast("timestamp"))
         upload_feedback(spark, tmp, fb)
+        # arrays serialized to JSON strings: the driver's pandas canonicalizer
+        # sorts cell values and list cells are unhashable — compare scalars
         view = querylog_view(spark, tmp)
         return spark.createDataFrame(
             view.select(
-                "query_id", "query_text", "responses", "is_correct"
+                "query_id",
+                "query_text",
+                F.to_json("responses").alias("responses_json"),
+                F.to_json("is_correct").alias("is_correct_json"),
             ).collect(),
-            "query_id string, query_text string, responses array<string>, is_correct array<boolean>",
+            "query_id string, query_text string, responses_json string, is_correct_json string",
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -284,11 +327,12 @@ def _stream_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from goldenretriever_spark.operators import ann, dedup, relational, textstats
+    from goldenretriever_spark.operators import ann, dedup, relational, split, textstats
 
     return {
         # --- IR / BM25 core (SURVEY §2.1, §2.3 J5, §2.4 A7-A8, §2.5-2.6) ---
         "bm25_topk": _bm25_topk,
+        "bm25_explain": _bm25_explain,
         "ir_postings_tf": _postings_tf,
         "ir_doc_stats_sha256": _doc_stats,
         "ir_corpus_stats": _corpus_stats,
@@ -305,6 +349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_union_distinct": relational.q_union_distinct,
         "rel_filter_project_fill": relational.q_filter_project_fill,
         "rel_grouping_sets_region": relational.q_grouping_sets_region,
+        "rel_train_test_split": split.q_train_test_split,
         # --- text analysis (training-data ops) ---
         "txt_token_count": textstats.q_token_count,
         "txt_quality_score": textstats.q_quality_score,
@@ -316,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
         "dedup_simhash": dedup.q_simhash,
+        "dedup_simhash_pairs": dedup.q_simhash_pairs,
         "dedup_embedding_neardup": dedup.q_embedding_neardup_pairs,
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
@@ -323,6 +369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- kb data model + eval harness + functions + sinks + streaming ---
         "kb_build_flatten": _kb_build_flatten,
         "eval_metrics_rollup": _eval_metrics_rollup,
+        "eval_accuracy_at_k": _eval_accuracy_at_k,
+        "eval_hard_negatives": _eval_hard_negatives,
         "fn_clean_txt": _fn_clean_txt,
         "media_decode": _media_decode,
         "sink_querylog_feedback": _sink_querylog_feedback,
@@ -374,10 +422,79 @@ FROM g GROUP BY ROLLUP (kb_name)
 """
 
 
+def _hex4_sql(e: str) -> str:
+    """DuckDB twin of operators.dedup._hex4_to_int over md5(e)[0:4]."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({e}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+def _bm25_explain_sql() -> str:
+    return f"""
+WITH {_TOKS_CTE},
+qterms(query_id, term) AS (VALUES {_queries_values_sql()})
+SELECT q.query_id, p.doc_id, q.term,
+       CAST(round( ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+          * (p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / c.avgdl))) * 10000) AS BIGINT)
+         AS contribution_q
+FROM qterms q
+JOIN postings p USING (term)
+JOIN term_stats t ON p.term = t.term
+JOIN doc_stats d ON p.doc_id = d.doc_id
+CROSS JOIN corpus c
+"""
+
+
+def _eval_accuracy_sql() -> str:
+    accs = ",\n       ".join(
+        f"CAST(round(sum(CASE WHEN gold_rank <= {k} THEN 1.0 ELSE 0.0 END)"
+        f" / (SELECT nq FROM n) * 10000) AS BIGINT) AS accuracy_at_{k}_q"
+        for k in (1, 2, 3)
+    )
+    return f"""
+WITH ranked AS ({_bm25_topk_sql()}),
+qrels AS (SELECT query_id, min(doc_id) AS doc_id FROM ranked GROUP BY 1),
+n AS (SELECT count(DISTINCT query_id) AS nq FROM qrels),
+g AS (SELECT r.query_id, min(r.rank) AS gold_rank
+      FROM ranked r JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id
+      GROUP BY 1)
+SELECT {accs} FROM g
+"""
+
+
+def _eval_hard_negatives_sql() -> str:
+    return f"""
+WITH ranked AS ({_bm25_topk_sql()}),
+qrels AS (SELECT query_id, min(doc_id) AS doc_id FROM ranked GROUP BY 1),
+neg AS (SELECT r.query_id, r.doc_id, r.rank FROM ranked r
+        ANTI JOIN qrels q ON r.query_id = q.query_id AND r.doc_id = q.doc_id)
+SELECT query_id, doc_id AS neg_doc_id, rank AS neg_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank ASC, doc_id ASC) AS rn
+      FROM neg)
+WHERE rn = 1
+"""
+
+
+def _train_test_split_sql() -> str:
+    key = "doc_id::VARCHAR || '|100'"
+    bucket = f"CAST(({_hex4_sql(key)}) % 5 AS BIGINT)"
+    return f"""
+WITH b AS (SELECT doc_id, {bucket} AS bucket FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 2 THEN 'test' ELSE 'train' END AS split
+FROM b
+"""
+
+
 def _ir_oracles() -> dict[str, str]:
     return {
         "kb_build_flatten": _kb_flatten_sql(),
         "eval_metrics_rollup": _eval_rollup_sql(),
+        "eval_accuracy_at_k": _eval_accuracy_sql(),
+        "eval_hard_negatives": _eval_hard_negatives_sql(),
+        "bm25_explain": _bm25_explain_sql(),
+        "rel_train_test_split": _train_test_split_sql(),
         "fn_clean_txt": r"""
 SELECT doc_id,
        md5(rtrim(lower(regexp_replace(regexp_replace(text, '\n', '. ', 'g'), '\.\. ', '. ', 'g')))) AS clean_md5,
@@ -394,7 +511,10 @@ SELECT doc_id,
 FROM documents
 """,
         "sink_querylog_feedback": """
-SELECT * FROM (VALUES
+SELECT query_id, query_text,
+       CAST(to_json(responses) AS VARCHAR) AS responses_json,
+       CAST(to_json(is_correct) AS VARCHAR) AS is_correct_json
+FROM (VALUES
   ('q0', 'query text 0', ['resp0a','resp0b'], NULL::BOOLEAN[]),
   ('q1', 'query text 1', ['resp1a','resp1b'], [true,false,true,false,false]),
   ('q2', 'query text 2', ['resp2a','resp2b'], NULL::BOOLEAN[]),

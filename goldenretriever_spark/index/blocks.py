@@ -108,7 +108,12 @@ def pack_enriched(
     P = pack_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def pack_partition(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        # materialize first: empty shuffle partitions (P > occupied hash
+        # slots) yield zero batches and pd.concat([]) raises
+        batches = list(batches)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
         if pdf.empty:
             return
         terms = pdf["term"].to_numpy()

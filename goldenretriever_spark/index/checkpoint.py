@@ -135,16 +135,18 @@ def build_resumable(
     groups = [g for g in groups if g]
 
     out_path = os.path.join(path, "posting_blocks")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for gi, group in enumerate(groups):
         tg = time.time()
         # partition-pruned read of just this group's buckets, then pack
         part = blocks.pack_enriched(
             staged.filter(F.col("term_bucket").isin(group)), avgdl, block_size
         )
-        part.repartition("term_bucket").write.mode("overwrite").partitionBy(
-            "term_bucket"
-        ).parquet(out_path)
+        # dynamic overwrite scoped to THIS writer (not the shared session
+        # conf): only this group's term_bucket partitions are replaced, and
+        # later full overwrites elsewhere in the session keep static mode
+        part.repartition("term_bucket").write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("term_bucket").parquet(out_path)
         n_rows = spark.read.parquet(out_path).filter(
             F.col("term_bucket").isin(group)
         ).count()

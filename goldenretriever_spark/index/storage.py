@@ -31,6 +31,21 @@ def bucket_col(term_col: str = "term", n_buckets: int = 64):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
 
 
+META_SCHEMA = "n_term_buckets int"
+
+
+def write_meta(spark: SparkSession, path: str, n_term_buckets: int) -> None:
+    """Persist build-time parameters the query path must agree on.
+
+    ``wand_top_k`` prunes partitions by recomputing pmod(xxhash64(term), B);
+    if B at query time differs from build time the pruning silently drops the
+    wrong buckets — so B is stored with the index, never trusted as a default.
+    """
+    spark.createDataFrame([(n_term_buckets,)], META_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "_meta"))
+
+
 def write_index(
     index: InvertedIndex,
     path: str,
@@ -38,6 +53,7 @@ def write_index(
     n_term_buckets: int = 64,
     mode: str = "overwrite",
 ) -> None:
+    write_meta(index.corpus_stats.sparkSession, path, n_term_buckets)
     if blocks is not None:
         (
             blocks.repartition("term_bucket")
@@ -80,3 +96,13 @@ class StoredIndex:
     @property
     def term_stats(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "term_stats"))
+
+    @property
+    def n_term_buckets(self) -> int | None:
+        """Build-time bucket count from _meta; None for pre-meta indexes
+        (query paths then skip partition pruning rather than guess)."""
+        try:
+            rows = self.spark.read.parquet(os.path.join(self.path, "_meta")).collect()
+        except Exception:
+            return None
+        return int(rows[0]["n_term_buckets"]) if rows else None

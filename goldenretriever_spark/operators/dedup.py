@@ -19,8 +19,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from goldenretriever_spark.tokenizer import SIMPLE_SPLIT_RE
+
 N_MINHASH_BANDS = 8
 SHINGLE_K = 3
+
+# Hot-bucket cap: an LSH bucket / shingle posting with > cap members yields
+# O(cap^2) candidate pairs; one viral boilerplate document must not produce a
+# quadratic blowup inside its bucket. Buckets above the cap are dropped —
+# they are non-discriminative (everything matches everything) and standard
+# MinHash-dedup practice prunes them. The DuckDB oracles apply the SAME cap,
+# so capped results stay hash-checkable.
+MAX_BUCKET_SIZE = 1000
+
+
+def _drop_hot_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Remove all rows belonging to bucket keys with > cap members.
+
+    groupBy shares its shuffle key with the downstream self-join; the
+    oversized-key list is tiny (viral boilerplate only) so the anti-join is
+    broadcast."""
+    big = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") > cap)
+        .select(*keys)
+    )
+    return df.join(F.broadcast(big), keys, "left_anti")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,7 +53,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _toks(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    return F.split(F.lower(F.trim(text)), SIMPLE_SPLIT_RE)
 
 
 def _shingles(text: Column, k: int = SHINGLE_K) -> Column:
@@ -78,14 +103,17 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("doc_id").agg(*aggs)
 
 
-def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band signature.
     shingle -> minhash -> band -> bucket-join (SURVEY training-data ops).
 
     The bucket join is an equi-join on (band, signature) — at scale the
-    signature table shuffles once and hot buckets (boilerplate docs) are the
-    skew case, handled by AQE skew-join plus an optional bucket-size cap.
-    """
+    signature table shuffles once; hot buckets (viral boilerplate) are capped
+    at ``max_bucket_size`` members BEFORE the self-join so pair count stays
+    O(n * cap), never quadratic in one bucket (AQE skew-join splits what
+    remains)."""
     sigs = q_minhash_signatures(spark, sf_dir)
     long = sigs.selectExpr(
         "doc_id",
@@ -94,6 +122,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             args=", ".join(f"{b}, sig{b}" for b in range(N_MINHASH_BANDS)),
         ),
     )
+    if max_bucket_size:
+        long = _drop_hot_buckets(long, ["band", "sig"], max_bucket_size)
     a = long.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b = long.select(F.col("doc_id").alias("doc_b"), "band", "sig")
     return (
@@ -104,17 +134,28 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.2) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+def q_ngram_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    max_shingle_df: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via a shingle inverted index:
     explode distinct shingles -> self-join on shingle (candidate generation)
     -> count common -> |J| = common / (|A|+|B|-common) >= threshold.
 
     Never materializes non-overlapping pairs — the join only produces pairs
     sharing >=1 shingle (this is the scalable pattern; the O(n^2) loop is
-    what it replaces)."""
+    what it replaces). Shingles appearing in > ``max_shingle_df`` docs are
+    dropped before the join (hot-shingle cap): they are non-discriminative
+    and would otherwise make one boilerplate shingle quadratic. With the cap
+    active the Jaccard is computed over the surviving shingle set — the
+    DuckDB oracle applies the identical cap."""
     d = _docs(spark, sf_dir).select("doc_id", _shingles(F.col("text")).alias("sh"))
     sized = d.select("doc_id", "sh", F.size("sh").alias("n_sh"))
     ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_shingle_df:
+        ex = _drop_hot_buckets(ex, ["shingle"], max_shingle_df)
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
     common = (
@@ -172,6 +213,48 @@ def q_simhash(spark: SparkSession, sf_dir: str, bits: int = 16) -> DataFrame:
         ).cast("long").alias("simhash"),
     )
     return sim
+
+
+def q_simhash_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    bits: int = 16,
+    max_hamming: int = 3,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance ``max_hamming``, found
+    by the pigeonhole band-join: split the ``bits``-bit signature into
+    ``max_hamming + 1`` bands — any pair differing in <= max_hamming bits
+    agrees EXACTLY on at least one band, so the equi-join on (band,
+    band_value) is a lossless candidate generator (Manku et al., WWW 2007).
+    Candidates are verified with the exact popcount of the XOR. Hot bands are
+    capped like LSH buckets."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sims = q_simhash(spark, sf_dir, bits)
+    long = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, band * {band_bits}) % {2 ** band_bits}"),
+    )
+    if max_bucket_size:
+        long = _drop_hot_buckets(long, ["band", "band_val"], max_bucket_size)
+    a = long.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "band_val")
+    b = long.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "band_val")
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def q_embedding_neardup_pairs(

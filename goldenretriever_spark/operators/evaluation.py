@@ -14,7 +14,7 @@ reference's rank matrix treats absent answers).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -42,6 +42,47 @@ def metrics(ranked: DataFrame, qrels: DataFrame, ks: tuple[int, ...] = (1, 2, 3)
             .alias(f"recall_at_{k}_q")
         )
     return g.agg(*aggs)
+
+
+def accuracy_at_k(
+    ranked: DataFrame, qrels: DataFrame, ks: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
+    """Named accuracy@k metric (SURVEY A3; reference
+    data_preprocessing.py:104-116,135-158): fraction of gold queries whose
+    gold doc appears in the top k. Denominator = ALL queries in qrels —
+    queries whose gold never ranked contribute 0 (the reference pads the rank
+    matrix with misses the same way)."""
+    n_queries = qrels.select("query_id").distinct().count()
+    g = gold_ranks(ranked, qrels)
+    aggs = [
+        F.round(
+            F.sum(F.when(F.col("gold_rank") <= k, 1.0).otherwise(0.0)) / n_queries * 10000
+        )
+        .cast("long")
+        .alias(f"accuracy_at_{k}_q")
+        for k in ks
+    ]
+    return g.agg(*aggs)
+
+
+def hard_negatives(ranked: DataFrame, qrels: DataFrame) -> DataFrame:
+    """Hard-negative mining — the reference's ``make_closewrong``
+    (data_preprocessing.py:160-166, finetune/generators.py:119-125): per
+    query, the highest-ranked prediction NOT in the gold set. Anti-join on
+    (query_id, doc_id) removes golds; row_number over ascending rank picks
+    the closest wrong answer. Both the anti-join and the per-query window
+    shuffle on query_id only — no global ordering."""
+    neg = ranked.join(qrels, ["query_id", "doc_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"), F.asc("doc_id"))
+    return (
+        neg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neg_doc_id"),
+            F.col("rank").alias("neg_rank"),
+        )
+    )
 
 
 def metrics_per_kb(ranked_kb: DataFrame, qrels: DataFrame, ks: tuple[int, ...] = (1, 2, 3)) -> DataFrame:

@@ -127,13 +127,14 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dense_rank_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-occurrence unique indexing (kb_handler.py:15-26 unique_indexing,
-    SURVEY J1/W5): assign dense ids to distinct part types by name order."""
+    SURVEY J1/W5): assign dense ids to distinct part types by name order.
+    Uses the scale-safe two-phase numbering (no global single-partition
+    window) shared with the kb build."""
+    from goldenretriever_spark.sources.kb import unique_ids
+
     part = _t(spark, sf_dir, "part")
-    w = Window.orderBy(F.asc("p_type"))
-    return (
-        part.select("p_type")
-        .dropDuplicates(["p_type"])
-        .withColumn("type_id", F.row_number().over(w))
+    return unique_ids(part, "p_type", "type_id", start=1).select(
+        "p_type", F.col("type_id").cast("long").alias("type_id")
     )
 
 

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from goldenretriever_spark.tokenizer import SIMPLE_SPLIT_RE
+
 TOKEN_RE = r"[^ \t\n\r]+"
 
 
@@ -29,7 +31,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def token_count_col(text: Column) -> Column:
     # count of whitespace-separated tokens; empty/blank -> 0
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
+        F.size(F.split(F.trim(text), SIMPLE_SPLIT_RE))
     )
 
 
@@ -76,7 +78,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace token stream; label = argmax with 'other' fallback (ties ->
     fixed precedence en > code > other)."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), SIMPLE_SPLIT_RE)
     counts = {
         # number of marker words present in the doc (count over the fixed
         # marker list, not the token stream — identical semantics in DuckDB's
@@ -107,7 +109,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     F12) + min-shingle fingerprint (lexicographic min of md5 over 3-token
     shingles — a 1-permutation minhash; robust to local edits)."""
     d = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), SIMPLE_SPLIT_RE)
     n = F.size(toks)
     shingles = F.transform(
         F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0))),

@@ -25,17 +25,24 @@ import math
 from collections import Counter
 from dataclasses import dataclass, field
 
-from goldenretriever_spark.tokenizer import code_tokenize_text
+import re
+
+from goldenretriever_spark.tokenizer import SIMPLE_SPLIT_RE, code_tokenize_text
 
 K1 = 1.2
 B = 0.75
 
+_SIMPLE_SPLIT = re.compile(SIMPLE_SPLIT_RE)
+
 
 def simple_tokenize_text(text: str) -> list[str]:
-    """Oracle twin of tokenizer.simple_tokens (lower + whitespace split)."""
+    """Oracle twin of tokenizer.simple_tokens (lower + ASCII-whitespace
+    split). Uses the engine's explicit whitespace class, NOT str.split():
+    str.split() also splits on Unicode whitespace (NBSP, \\u2028) where the
+    engine's Java regex does not — they must agree on every input."""
     if text is None:
         return []
-    return [t for t in text.lower().split() if t]
+    return [t for t in _SIMPLE_SPLIT.split(text.lower()) if t]
 
 
 def tokenize(text: str, tokenizer: str = "simple") -> list[str]:

@@ -14,8 +14,10 @@ Dialect discipline (kept identical on the Spark side):
 
 from __future__ import annotations
 
-TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
-NTOK = r"(CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END)"
+from goldenretriever_spark.tokenizer import SIMPLE_SPLIT_SQL as WS
+
+TOKS = f"string_split_regex(lower(trim(text)), '{WS}')"
+NTOK = f"(CASE WHEN length(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'{WS}')) END)"
 
 SHINGLES = (
     "list_distinct(list_transform(generate_series(0, greatest(len({toks})-3, 0)), "
@@ -178,17 +180,20 @@ SELECT md5(text) AS digest, min(doc_id) AS canonical_doc_id, count(*)::BIGINT AS
 FROM corpus GROUP BY 1 HAVING count(*) > 1
 """,
     "dedup_minhash_signatures": _minhash_sig_sql(8),
+    # hot-bucket cap (1000) mirrored from operators/dedup.py MAX_BUCKET_SIZE
     "dedup_minhash_lsh_pairs": f"""
 WITH sigs AS ({_minhash_sig_sql(8)}),
-long AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(8))})
+long AS ({" UNION ALL ".join(f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(8))}),
+capped AS (SELECT * FROM long QUALIFY count(*) OVER (PARTITION BY band, sig) <= 1000)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM long a JOIN long b USING (band, sig)
+FROM capped a JOIN capped b USING (band, sig)
 WHERE a.doc_id < b.doc_id
 """,
     "dedup_ngram_jaccard": f"""
 WITH t AS (SELECT doc_id, {SHINGLES} AS sh FROM documents),
 s AS (SELECT doc_id, sh, len(sh)::BIGINT AS n_sh FROM t),
-ex AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM s),
+raw_ex AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM s),
+ex AS (SELECT * FROM raw_ex QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*)::BIGINT AS common
@@ -201,6 +206,21 @@ FROM common
 WHERE CAST(round(common / (na + nb - common) * 10000) AS BIGINT) >= 2000
 """,
     "dedup_simhash": _simhash_sql(16),
+    # pigeonhole band-join: 16 bits / 4 bands, Hamming <= 3, same 1000-cap
+    "dedup_simhash_pairs": f"""
+WITH sims AS ({_simhash_sql(16)}),
+long AS (
+  SELECT doc_id, simhash, t.band, (simhash >> (t.band * 4)) % 16 AS band_val
+  FROM sims, unnest([0, 1, 2, 3]) AS t(band)),
+capped AS (SELECT * FROM long QUALIFY count(*) OVER (PARTITION BY band, band_val) <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM capped a JOIN capped b USING (band, band_val)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+""",
     "dedup_embedding_neardup": """
 WITH a AS (SELECT vec_id, embedding, label FROM embeddings)
 SELECT x.vec_id AS id_a, y.vec_id AS id_b,

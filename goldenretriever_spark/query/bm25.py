@@ -51,13 +51,15 @@ def tfnorm_col(tf: Column, doc_len: Column, avgdl: Column) -> Column:
     return tf / (tf + K1 * (1.0 - B + B * doc_len / avgdl))
 
 
-def score_candidates(index: InvertedIndex, terms: DataFrame) -> DataFrame:
-    """(query_id, term) x index -> (query_id, doc_id, score).
+def explain_contributions(index: InvertedIndex, terms: DataFrame) -> DataFrame:
+    """Per-term BM25 score attribution (word importance, SURVEY F13).
 
-    The query-terms side is tiny -> broadcast; term_stats for the matched
-    terms is tiny -> broadcast; postings carry doc_len, so no join against
-    doc_stats is ever needed — the only wide table in the plan is the
-    postings scan itself (term-bucket-pruned when reading a stored index).
+    The reference explains a prediction by erasing each word and re-scoring
+    (app/streamlit/importance.py:78-139 — one model call per word). BM25 is
+    additive over query terms, so the per-term contribution IS the erasure
+    delta and falls out of the scoring join for free:
+    (query_id, doc_id, term, contribution) with
+    score(q,d) = Σ_term contribution.
     """
     matched = index.postings.join(F.broadcast(terms), "term")
     stats = index.term_stats.join(F.broadcast(terms.select("term").distinct()), "term")
@@ -67,8 +69,21 @@ def score_candidates(index: InvertedIndex, terms: DataFrame) -> DataFrame:
         idf_col(F.col("n_docs").cast("double"), F.col("df").cast("double"))
         * tfnorm_col(F.col("tf").cast("double"), F.col("doc_len").cast("double"), F.col("avgdl"))
     )
+    return matched.select(
+        "query_id", "doc_id", "term", contribution.alias("contribution")
+    )
+
+
+def score_candidates(index: InvertedIndex, terms: DataFrame) -> DataFrame:
+    """(query_id, term) x index -> (query_id, doc_id, score).
+
+    The query-terms side is tiny -> broadcast; term_stats for the matched
+    terms is tiny -> broadcast; postings carry doc_len, so no join against
+    doc_stats is ever needed — the only wide table in the plan is the
+    postings scan itself (term-bucket-pruned when reading a stored index).
+    """
     return (
-        matched.withColumn("contribution", contribution)
+        explain_contributions(index, terms)
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contribution").alias("score"))
     )

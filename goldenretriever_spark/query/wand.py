@@ -98,9 +98,16 @@ def wand_top_k(
     k: int = 10,
     tokenizer: str = "simple",
     seed_factor: int = 4,
-    n_term_buckets: int | None = 64,
+    n_term_buckets: int | None = None,
 ) -> DataFrame:
-    """Top-k per query over the compressed index; rank-identical to brute force."""
+    """Top-k per query over the compressed index; rank-identical to brute force.
+
+    ``n_term_buckets`` must be the BUILD-time bucket count — pass
+    ``StoredIndex(spark, path).n_term_buckets`` (persisted in the index's
+    ``_meta``). The default is None (no partition pruning): a wrong guess
+    would silently drop buckets and return incomplete top-k, so pruning is
+    opt-in with the persisted value only.
+    """
     row = corpus_stats.collect()[0]
     n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
 
@@ -122,41 +129,53 @@ def wand_top_k(
         .withColumn("ub", F.col("idf") * F.col("block_max_tf_norm"))
     )
     meta = meta.cache()
+    try:
+        # per-(query, term) best possible block bound
+        term_ub = meta.groupBy("query_id", "term").agg(F.max("ub").alias("max_ub"))
+        # Σ over the query's terms of max_ub  (used as "other terms" bound)
+        query_ub = term_ub.groupBy("query_id").agg(F.sum("max_ub").alias("sum_max_ub"))
 
-    # per-(query, term) best possible block bound
-    term_ub = meta.groupBy("query_id", "term").agg(F.max("ub").alias("max_ub"))
-    # Σ over the query's terms of max_ub  (used as "other terms" bound)
-    query_ub = term_ub.groupBy("query_id").agg(F.sum("max_ub").alias("sum_max_ub"))
-
-    # ---- phase 1: seed θ from the highest-ub blocks per query ----
-    w_ub = Window.partitionBy("query_id").orderBy(F.desc("ub"), F.asc("term"), F.asc("block_id"))
-    seed_blocks = (
-        meta.withColumn(
-            "cum_n",
-            F.sum("n").over(w_ub.rowsBetween(Window.unboundedPreceding, -1)),
+        # ---- phase 1: seed θ from the highest-ub blocks per query ----
+        w_ub = Window.partitionBy("query_id").orderBy(
+            F.desc("ub"), F.asc("term"), F.asc("block_id")
         )
-        .filter(F.coalesce(F.col("cum_n"), F.lit(0)) < seed_factor * k)
-    )
-    seed_scores = _exact_scores(_decode_matched(seed_blocks), avgdl)
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    theta = (
-        seed_scores.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == k)
-        .select("query_id", F.col("score").alias("theta"))
-    )
+        seed_blocks = (
+            meta.withColumn(
+                "cum_n",
+                F.sum("n").over(w_ub.rowsBetween(Window.unboundedPreceding, -1)),
+            )
+            .filter(F.coalesce(F.col("cum_n"), F.lit(0)) < seed_factor * k)
+        )
+        seed_scores = _exact_scores(_decode_matched(seed_blocks), avgdl)
+        w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        # θ is tiny (≤1 row per query) — collect it eagerly; this also
+        # populates the meta cache before phase 2 reuses it
+        theta_rows = (
+            seed_scores.withColumn("rn", F.row_number().over(w_rank))
+            .filter(F.col("rn") == k)
+            .select("query_id", F.col("score").alias("theta"))
+            .collect()
+        )
+        theta = spark.createDataFrame(theta_rows, "query_id long, theta double")
 
-    # ---- phase 2: prune blocks, decode survivors, exact-score ----
-    survivors = (
-        meta.join(F.broadcast(term_ub), ["query_id", "term"])
-        .join(F.broadcast(query_ub), "query_id")
-        .join(F.broadcast(theta), "query_id", "left")
-        # bound for docs in this block: own ub + best-case of the other terms
-        .withColumn("bound", F.col("ub") + (F.col("sum_max_ub") - F.col("max_ub")))
-        .filter(F.col("theta").isNull() | (F.col("bound") >= F.col("theta")))
-    )
-    scores = _exact_scores(_decode_matched(survivors), avgdl)
-    return (
-        scores.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "doc_id", "score", "rank")
-    )
+        # ---- phase 2: prune blocks, decode survivors, exact-score ----
+        survivors = (
+            meta.join(F.broadcast(term_ub), ["query_id", "term"])
+            .join(F.broadcast(query_ub), "query_id")
+            .join(F.broadcast(theta), "query_id", "left")
+            # bound for docs in this block: own ub + best-case of the other terms
+            .withColumn("bound", F.col("ub") + (F.col("sum_max_ub") - F.col("max_ub")))
+            .filter(F.col("theta").isNull() | (F.col("bound") >= F.col("theta")))
+        )
+        scores = _exact_scores(_decode_matched(survivors), avgdl)
+        result = (
+            scores.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+        # materialize + truncate lineage so meta can be unpersisted without
+        # the returned DataFrame recomputing the pruned scan later; the
+        # checkpointed blocks are freed with the DataFrame by ContextCleaner
+        return result.localCheckpoint(eager=True)
+    finally:
+        meta.unpersist()

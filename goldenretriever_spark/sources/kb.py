@@ -29,11 +29,16 @@ def parse_csv(
     query_col: str = "query_str",
     context_col: str = "context_str",
     kb_name: str = "kb",
+    cutoff: int | None = None,
 ) -> dict[str, DataFrame]:
     """QA CSV -> kb tables. Sniffed schema like pandas read_csv
     (kb_handler.py:269-270); missing context defaults to ''
-    (kb_handler.py:141-146); 'nan' query strings dropped (kb_handler.py:363)."""
+    (kb_handler.py:141-146); 'nan' query strings dropped (kb_handler.py:363).
+    ``cutoff`` keeps only the first N raw rows, the reference's sample-size
+    cutoff (data_preprocessing.py:75-89, SURVEY S2)."""
     raw = spark.read.csv(path, header=True, inferSchema=True)
+    if cutoff is not None:
+        raw = raw.limit(cutoff)
     cols = {c.lower(): c for c in raw.columns}
     ctx = (
         F.coalesce(F.col(cols[context_col.lower()]).cast("string"), F.lit(""))
@@ -77,13 +82,38 @@ def parse_text(
     return build_kb(qa, kb_name)
 
 
-def unique_ids(df: DataFrame, col: str, id_col: str) -> DataFrame:
+def unique_ids(df: DataFrame, col: str, id_col: str, start: int = 0) -> DataFrame:
     """Dense ids for distinct values, ordered deterministically by value
     (reference uses first-occurrence order, kb_handler.py:15-26; a distributed
     engine needs a stable total order instead — value order is the
-    deterministic choice, SURVEY W5)."""
-    w = Window.orderBy(F.asc(col))
-    return df.select(col).dropDuplicates([col]).withColumn(id_col, F.row_number().over(w) - 1)
+    deterministic choice, SURVEY W5).
+
+    Scale-safe two-phase assignment (zipWithIndex pattern, no global-window
+    single-partition exchange): range-partition the distinct values, number
+    rows within each partition, then add per-partition offsets computed from
+    the tiny partition-count table. The offset prefix-sum is a broadcast
+    nested-loop join over <=P rows — nothing in the plan funnels the data
+    itself through one task, so a 10-TB responses table numbers in parallel.
+    The range exchange is consumed by both branches of the plan and reused
+    (ReusedExchange), so partition ids are consistent."""
+    distinct = df.select(col).dropDuplicates([col]).repartitionByRange(F.asc(col))
+    local = (
+        distinct.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(F.asc(col))) - 1,
+        )
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+    return local.join(F.broadcast(offsets), "_pid").select(
+        col, (F.col("_rn") + F.col("_off") + F.lit(start)).cast("long").alias(id_col)
+    )
 
 
 def build_kb(qa: DataFrame, kb_name: str = "kb") -> dict[str, DataFrame]:

@@ -8,11 +8,15 @@ postings store inside foreachBatch:
 
     new docs -> tokenize -> (term, doc_id, tf, doc_len) -> append partition
 
-Because (term, doc_id) pairs from distinct files never collide (doc_id is
-content-addressed per file), per-batch postings append WITHOUT a merge
-re-aggregation; term_stats/corpus_stats are cheap view-time aggregates over
-the appended postings. The end state after draining equals the batch build
-over the union of inputs — asserted in tests/test_streaming.py.
+Streaming checkpointing is exactly-once per input FILE, not per document, so
+the same doc (repo, path, commit) can arrive in two different files. Each
+micro-batch therefore dedupes: within the batch (dropDuplicates on doc_id)
+and against the store (left-anti join on the existing doc_stats doc_ids).
+Postings then append WITHOUT a merge re-aggregation — (term, doc_id) pairs
+are unique by construction; term_stats/corpus_stats are cheap view-time
+aggregates over the appended postings. The end state after draining equals
+the batch build over the union of inputs — asserted in
+tests/test_sources_and_streaming.py.
 
 At scale the same structure runs continuously (Trigger.ProcessingTime) with
 checkpointLocation giving exactly-once file processing; the posting-block
@@ -48,11 +52,27 @@ def incremental_postings_build(
     stream = spark.readStream.schema(schema or DOCS_SCHEMA).parquet(input_dir)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from goldenretriever_spark.index.build import with_doc_ids
+
         if not batch_df.take(1):
             return
-        idx = build_index(batch_df, tokenizer=tokenizer, persist=False)
+        # exactly-once is per FILE: the same doc can appear in two input
+        # files (and twice within one batch) — dedupe on doc_id within the
+        # batch and against the store, or tf/df/n_docs double-count silently.
+        # doc_stats is doc_id-partitioned on a real warehouse, so the
+        # anti-join is co-partitioned there.
+        docs = with_doc_ids(batch_df).dropDuplicates(["doc_id"])
+        stats_path = os.path.join(out_dir, "doc_stats")
+        try:
+            seen = spark.read.parquet(stats_path).select("doc_id")
+            docs = docs.join(seen, "doc_id", "left_anti")
+        except Exception:
+            pass  # first batch: no store yet
+        if not docs.take(1):
+            return
+        idx = build_index(docs, tokenizer=tokenizer, persist=False)
         idx.postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
-        idx.doc_stats.write.mode("append").parquet(os.path.join(out_dir, "doc_stats"))
+        idx.doc_stats.write.mode("append").parquet(stats_path)
 
     (
         stream.writeStream.foreachBatch(fold_batch)

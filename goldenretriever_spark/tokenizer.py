@@ -31,7 +31,14 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-SIMPLE_SPLIT_RE = r"\s+"
+# Explicit ASCII whitespace class: Java regex \s, RE2 \s (DuckDB oracle) and
+# Python str.split() disagree at the edges (\x0b membership, Unicode
+# whitespace like NBSP/ ) — the explicit class below is identical in all
+# three engines, so rank-identity holds on real-world input, not just the
+# ASCII-only driver corpora. SIMPLE_SPLIT_SQL is the escaped twin for
+# embedding in DuckDB oracle SQL.
+SIMPLE_SPLIT_RE = "[ \t\n\x0b\f\r]+"
+SIMPLE_SPLIT_SQL = r"[ \t\n\x0b\f\r]+"
 
 # Unicode-aware: \w in Python covers letters+digits+underscore across scripts.
 _PUNCT_SPLIT_RE = re.compile(r"[^\w]+", re.UNICODE)
@@ -79,12 +86,41 @@ def code_tokenize_text(text: str) -> list[str]:
     return out
 
 
+_WORD_BREAK_RE = re.compile(r"[\W_]+", re.UNICODE)  # punct + underscore -> space
+_MN_TABLE: dict[int, None] | None = None
+
+
+def _mn_translate_table() -> dict[int, None]:
+    """str.translate table deleting every combining mark (category Mn),
+    built once per Python worker (~0.3 s over the full codepoint range) so
+    the batch path never calls unicodedata per character."""
+    global _MN_TABLE
+    if _MN_TABLE is None:
+        _MN_TABLE = {
+            cp: None for cp in range(0x110000) if unicodedata.category(chr(cp)) == "Mn"
+        }
+    return _MN_TABLE
+
+
 def code_tokenize_series(texts: pd.Series) -> pd.Series:
-    """Vectorized batch tokenizer: amortizes work across an Arrow batch by
-    tokenizing each *unique* string once (documents rarely repeat, but query
-    batches and driver corpora do)."""
+    """Vectorized batch tokenizer: the same steps as ``code_tokenize_text``
+    re-expressed as pandas ``.str`` pipeline ops over the whole Arrow batch
+    (C-speed regex + translate — no per-character Python loop; the scalar
+    twin stays as the semantics anchor and the equivalence is pytest-locked).
+    Camel-boundary spaces are inserted BEFORE punctuation removal — the
+    lookarounds only see adjacent alnum chars, so boundary positions are
+    identical to the scalar's split-then-camel order. Unique-value
+    memoization retained (query batches and driver corpora repeat)."""
     uniq = texts.dropna().unique()
-    table = {t: code_tokenize_text(t) for t in uniq}
+    u = pd.Series(uniq, dtype=object)
+    u = u.str.replace(_CONTROL_RE, " ", regex=True)
+    u = u.str.normalize("NFD")
+    u = u.str.translate(_mn_translate_table())
+    u = u.str.replace(_CJK_RE, r" \1 ", regex=True)
+    u = u.str.replace(_CAMEL_RE, " ", regex=True)
+    u = u.str.replace(_WORD_BREAK_RE, " ", regex=True)
+    toks = u.str.lower().str.split()
+    table = dict(zip(uniq, toks))
     return texts.map(lambda t: table.get(t, []))
 
 

@@ -98,9 +98,12 @@ def test_stored_index_wand_roundtrip(spark, tmp_path):
     write_index(idx, str(tmp_path), blocks=blocks, n_term_buckets=8)
 
     stored = StoredIndex(spark, str(tmp_path))
+    # bucket count must come from the persisted _meta, never a guessed default
+    assert stored.n_term_buckets == 8
     qlist = [(0, "def return"), (1, "cache buffer stream")]
     got = wand_top_k(
-        spark, stored.posting_blocks, stored.corpus_stats, qlist, k=5, n_term_buckets=8
+        spark, stored.posting_blocks, stored.corpus_stats, qlist, k=5,
+        n_term_buckets=stored.n_term_buckets,
     ).collect()
     brute = bm25.top_k(idx, bm25.query_terms_df(spark, qlist), k=5).collect()
     key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"]) for r in rows)  # noqa: E731
