@@ -88,6 +88,42 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe(
+    spark: SparkSession, sf_dir: str, k: int = 5, radius: int = 1
+) -> DataFrame:
+    """Multi-probe LSH top-k (the recall knob single-probe lacks): each query
+    also probes every bucket within Hamming distance <= radius of its own —
+    vectors on the wrong side of `radius` hyperplanes are still candidates
+    (Lv et al., VLDB 2007). radius=1 probes 1 + n_planes of the 2^n_planes
+    buckets, so cost is (1+P)/2^P of brute force while recovering most
+    boundary misses. The probe fan-out is an explode on the TINY query side;
+    the corpus is still hashed once and equi-joined."""
+    planes = hyperplanes()
+    n_planes = len(planes)
+    probe_ids = [0] + [2**p for p in range(n_planes)]  # self + 1-bit flips
+    assert radius <= 1, "radius>1: extend probe_ids with multi-bit masks"
+    e = _emb(spark, sf_dir).withColumn("bucket", bucket_col(F.col("embedding"), planes))
+    q = (
+        _query_vectors(spark, sf_dir)
+        .withColumn("bucket0", bucket_col(F.col("qvec"), planes))
+        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in probe_ids])))
+        .withColumn("bucket", F.col("bucket0").bitwiseXOR(F.col("mask")))
+    )
+    scored = q.join(e, "bucket").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("qvec"), F.col("embedding")) * 10000).cast("long").alias(
+            "cosine_q"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_q", "rnk")
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """LSH-bucketed cosine top-k: both sides bucket by hyperplane sign bits;
     candidates = same-bucket vectors only (equi-join, prunes ~15/16 of the

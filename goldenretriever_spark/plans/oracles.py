@@ -257,11 +257,15 @@ SELECT query_id, vec_id, cosine_q, rnk FROM (
     )
     bq = plane_bits.format(v="q.qvec")
     be = plane_bits.format(v="e.embedding")
+    join_cond = f"({bq}) = ({be})"
+    if bucketed == "multiprobe":
+        # probe radius 1: candidate iff buckets differ in <= 1 sign bit
+        join_cond = f"bit_count(xor(({bq}), ({be}))) <= 1"
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 5),
 scored AS (
   SELECT q.query_id, e.vec_id, {cos} AS cosine_q
-  FROM q JOIN embeddings e ON ({bq}) = ({be}))
+  FROM q JOIN embeddings e ON {join_cond})
 SELECT query_id, vec_id, cosine_q, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, vec_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
@@ -274,6 +278,7 @@ def ann_oracles() -> dict[str, str]:
     return {
         "ann_brute_topk": _ann_scored_sql(False),
         "ann_lsh_topk": _ann_scored_sql(True, hyperplanes()),
+        "ann_lsh_multiprobe": _ann_scored_sql("multiprobe", hyperplanes()),
     }
 
 

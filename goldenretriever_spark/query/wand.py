@@ -90,6 +90,43 @@ def _exact_scores(decoded: DataFrame, avgdl: float) -> DataFrame:
     )
 
 
+def brute_top_k_stored(
+    spark: SparkSession,
+    posting_blocks: DataFrame,
+    corpus_stats: DataFrame,
+    queries,
+    k: int = 10,
+    tokenizer: str = "simple",
+    n_term_buckets: int | None = None,
+) -> DataFrame:
+    """Exact top-k over the STORED index with NO pruning: decode every block
+    of every query term, score, rank. This is the baseline wand_top_k must
+    beat — same storage, same decode path, identical results; the only
+    difference is the θ-pruning machinery (tools/wand_crossover.py measures
+    where pruning starts paying for itself)."""
+    row = corpus_stats.collect()[0]
+    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+    qterms = query_terms_df(spark, queries, tokenizer)
+    if n_term_buckets and "term_bucket" in posting_blocks.columns:
+        buckets = [
+            r["b"]
+            for r in qterms.select(
+                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+    matched = posting_blocks.join(F.broadcast(qterms), "term").withColumn(
+        "idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double"))
+    )
+    scores = _exact_scores(_decode_matched(matched), avgdl)
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 def wand_top_k(
     spark: SparkSession,
     posting_blocks: DataFrame,

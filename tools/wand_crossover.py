@@ -1,0 +1,115 @@
+"""Measure the WAND crossover: corpus size where block-max pruning beats the
+unpruned decode of the same stored index (VERDICT r1 next-step #3).
+
+Both contenders answer the SAME 50-query batch from the SAME persisted
+compressed index (posting_blocks parquet, term-bucket partitioned):
+
+- brute_top_k_stored: decode EVERY block of every query term, score, rank
+- wand_top_k:         θ-seeded block pruning, decode survivors only
+
+Identical storage + decode path, so the measured delta is exactly the
+pruning machinery. Rank-identity is asserted on every run. Per corpus size,
+best of --runs timings (host noise). Prints one JSON line per size plus a
+summary; paste into BENCH/BASELINE.md.
+
+Usage: python tools/wand_crossover.py [sizes_csv] [--runs R] [--k K]
+Corpora/indexes are cached in /tmp across invocations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BUCKETS = 64
+
+
+def ensure_index(spark, n_docs: int) -> str:
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.index.storage import write_index
+
+    cache = f"/tmp/gr_bench_corpus_{n_docs}.parquet"
+    idx_path = f"/tmp/gr_idx_{n_docs}"
+    if not os.path.exists(cache):
+        corpus.synth_corpus(spark, n_docs, seed=42, partitions=256).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    if not os.path.exists(os.path.join(idx_path, "corpus_stats")):
+        docs = spark.read.parquet(cache)
+        idx = build_index(docs, tokenizer="simple")
+        blocks = pack_blocks(idx, block_size=128, target_docs_per_group=250_000,
+                             n_term_buckets=N_BUCKETS)
+        write_index(idx, idx_path, blocks=blocks, n_term_buckets=N_BUCKETS)
+    return idx_path
+
+
+def main() -> None:
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.storage import StoredIndex
+    from goldenretriever_spark.query.wand import brute_top_k_stored, wand_top_k
+    from goldenretriever_spark.session import get_spark
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sizes = [int(x) for x in (args[0].split(",") if args else ["240000", "960000", "1920000"])]
+    runs, k = 2, 10
+    for i, a in enumerate(sys.argv):
+        if a.startswith("--runs"):
+            runs = int(a.split("=", 1)[1] if "=" in a else sys.argv[i + 1])
+        if a.startswith("--k"):
+            k = int(a.split("=", 1)[1] if "=" in a else sys.argv[i + 1])
+
+    spark = get_spark("gr-wand-crossover", cores=32, shuffle_partitions=32)
+    qset = corpus.reference_queries(50, seed=42)
+    qlist = [(int(r.query_id), r.query_str) for r in qset.itertuples()]
+
+    results = []
+    for n in sizes:
+        idx_path = ensure_index(spark, n)
+        stored = StoredIndex(spark, idx_path)
+        nb = stored.n_term_buckets
+        blocks, cstats = stored.posting_blocks, stored.corpus_stats
+
+        def time_best(fn):
+            best = None
+            for _ in range(runs):
+                t0 = time.time()
+                out = fn()
+                rows = out.collect()
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            return best, rows
+
+        t_brute, r_brute = time_best(
+            lambda: brute_top_k_stored(spark, blocks, cstats, qlist, k=k,
+                                       n_term_buckets=nb)
+        )
+        t_wand, r_wand = time_best(
+            lambda: wand_top_k(spark, blocks, cstats, qlist, k=k, n_term_buckets=nb)
+        )
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["doc_id"]) for r in rows)  # noqa: E731
+        identical = key(r_brute) == key(r_wand)
+        row = {
+            "n_docs": n,
+            "brute_stored_sec": round(t_brute, 2),
+            "wand_sec": round(t_wand, 2),
+            "speedup": round(t_brute / t_wand, 2),
+            "rank_identical": identical,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    wins = [r for r in results if r["speedup"] > 1.0 and r["rank_identical"]]
+    print(json.dumps({
+        "crossover_n_docs": wins[0]["n_docs"] if wins else None,
+        "results": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
