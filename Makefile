@@ -1,4 +1,7 @@
-.PHONY: test verify bench scale package clean
+.PHONY: test verify bench scale crossover package clean
+
+crossover:
+	python tools/wand_crossover.py 240000,960000,1920000 --runs=2
 
 test:
 	python -m pytest tests/ -x -q

@@ -68,23 +68,28 @@ def tokenized(documents: DataFrame, tokenizer: str = "simple") -> DataFrame:
 def build_index(documents: DataFrame, tokenizer: str = "simple", persist: bool = True) -> InvertedIndex:
     """Build the uncompressed logical index from an input_hint corpus.
 
-    persist=True keeps the tokenized frame and postings materialized
-    (MEMORY_AND_DISK): four downstream branches (postings, doc_stats,
-    corpus_stats, term_stats) would otherwise each re-run the scan+tokenize.
-    At warehouse scale the same role is played by staging postings to a table
-    (index/checkpoint.py does exactly that).
+    Single-cache design: only POSTINGS are persisted; every build-path stat
+    derives from them —
+      * term_stats: groupBy(term) over cached postings
+      * total token count: Σ doc_len = Σ_postings tf (exact long arithmetic)
+      * n_docs: count over the raw scan (parquet row-count metadata, ~free)
+      * avgdl = total/n_docs — exact incl. zero-token docs (they add 0 to the
+        numerator and 1 to the denominator)
+    The earlier design also cached the tokenized frame (doc_id, sha256,
+    tokens) — at 1.9M docs that is a multi-GB columnar cache written once and
+    read twice, pure memory-bandwidth cost that destroyed N->4N scaling on
+    bandwidth-limited hosts and bought nothing the postings don't already
+    carry (doc_len rides in the groupBy key, so no 10^12-row doc_stats join
+    exists anywhere in the build or query path).
+
+    doc_stats (doc_id, doc_len, sha256) stays LAZY: consumers that actually
+    want per-doc rows (sha256 invariant checks, the stored-index doc_stats
+    table) re-run scan+tokenize once — trading a cheap CPU pass that scales
+    with cores for a cache that burns shared bandwidth.
     """
     from pyspark import StorageLevel
 
     toks = tokenized(documents, tokenizer).select("doc_id", "sha256", "tokens")
-    if persist:
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
-
-    doc_stats = toks.select(
-        "doc_id",
-        F.size("tokens").cast("long").alias("doc_len"),
-        "sha256",
-    )
 
     # doc_len rides along in the groupBy key (same cardinality as
     # (term,doc_id)) so neither the build nor the query path ever needs a
@@ -102,9 +107,17 @@ def build_index(documents: DataFrame, tokenizer: str = "simple", persist: bool =
     if persist:
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
 
-    corpus_stats = doc_stats.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("doc_len").alias("avgdl"),
+    doc_stats = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("doc_len"),
+        "sha256",
+    )
+
+    n_docs_df = documents.select(F.count(F.lit(1)).alias("n_docs"))
+    totals = postings.agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("total_len"))
+    corpus_stats = n_docs_df.crossJoin(totals).select(
+        "n_docs",
+        (F.col("total_len").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
 
     term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -160,12 +160,31 @@ def wand_top_k(
         ]
         posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
 
+    # metadata-only plan: the cached frame carries block STATS, never the
+    # varint blobs — at 10^12-file scale the matched blobs of one hot term
+    # are TBs, while their metadata is ~100 B/block. Parquet column pruning
+    # makes this scan read only the small columns; blob columns are fetched
+    # later by a join-back restricted to the blocks that actually decode.
+    meta_cols = ["term", "block_id", "n", "df", "block_max_tf_norm"]
+    blob_cols = ["term", "block_id", "doc_ids_delta_varint", "tfs_varint", "dls_varint"]
     meta = (
-        posting_blocks.join(F.broadcast(qterms), "term")
+        posting_blocks.select(*meta_cols)
+        .join(F.broadcast(qterms), "term")
         .withColumn("idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double")))
         .withColumn("ub", F.col("idf") * F.col("block_max_tf_norm"))
     )
     meta = meta.cache()
+    blobs = posting_blocks.select(*blob_cols)
+
+    def decode_keys(keys: DataFrame, broadcast_keys: bool) -> DataFrame:
+        """(query_id, term, idf, block_id) -> decoded postings, joining the
+        blob columns back from the (bucket-pruned) blocks scan. Seed keys are
+        tiny -> broadcast; survivor keys can be large -> let AQE choose."""
+        sel = keys.select("query_id", "term", "idf", "block_id")
+        if broadcast_keys:
+            sel = F.broadcast(sel)
+        return _decode_matched(blobs.join(sel, ["term", "block_id"]))
+
     try:
         # per-(query, term) best possible block bound
         term_ub = meta.groupBy("query_id", "term").agg(F.max("ub").alias("max_ub"))
@@ -183,7 +202,7 @@ def wand_top_k(
             )
             .filter(F.coalesce(F.col("cum_n"), F.lit(0)) < seed_factor * k)
         )
-        seed_scores = _exact_scores(_decode_matched(seed_blocks), avgdl)
+        seed_scores = _exact_scores(decode_keys(seed_blocks, broadcast_keys=True), avgdl)
         w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         # θ is tiny (≤1 row per query) — collect it eagerly; this also
         # populates the meta cache before phase 2 reuses it
@@ -204,7 +223,7 @@ def wand_top_k(
             .withColumn("bound", F.col("ub") + (F.col("sum_max_ub") - F.col("max_ub")))
             .filter(F.col("theta").isNull() | (F.col("bound") >= F.col("theta")))
         )
-        scores = _exact_scores(_decode_matched(survivors), avgdl)
+        scores = _exact_scores(decode_keys(survivors, broadcast_keys=False), avgdl)
         result = (
             scores.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)

@@ -44,7 +44,19 @@ def get_spark(
         # causes GC page-fault storms (observed 50-66% GC time at 64g); the
         # engine's working data is columnar-cached and spills cleanly.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # GC threads pinned to the allotted cores: a containerized executor
+        # with N cores gets ~N GC threads; unpinned, a local[2] JVM on a
+        # 32-core host steals 32 GC threads and overstates small-N throughput
+        # in scaling measurements (set SPARK_GRAFT_PIN_GC=0 to disable)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC"
+            + (
+                f" -XX:ParallelGCThreads={max(int(cores), 2)}"
+                if str(cores).isdigit() and os.environ.get("SPARK_GRAFT_PIN_GC", "1") == "1"
+                else ""
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

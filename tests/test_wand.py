@@ -55,6 +55,26 @@ def test_wand_equals_brute_force(built, spark, seed_factor):
             assert math.isclose(sb, sp, rel_tol=1e-9), f"q{qid} scores differ"
 
 
+def test_brute_stored_equals_brute_inmemory(built, spark):
+    """The stored-index unpruned baseline (tools/wand_crossover.py contender)
+    must decode back to exactly the in-memory brute-force ranking."""
+    from goldenretriever_spark.query.wand import brute_top_k_stored
+
+    idx, blocks = built
+    queries = corpus.reference_queries(20, seed=5)
+    qlist = [(int(r.query_id), r.query_str) for r in queries.itertuples()]
+    terms = bm25.query_terms_df(spark, qlist)
+    brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
+    stored = _collect_ranked(
+        brute_top_k_stored(spark, blocks, idx.corpus_stats, qlist, k=K).collect()
+    )
+    assert set(brute) == set(stored)
+    for qid in brute:
+        assert [d for d, _ in brute[qid]] == [d for d, _ in stored[qid]]
+        for (_, sb), (_, sp) in zip(brute[qid], stored[qid]):
+            assert math.isclose(sb, sp, rel_tol=1e-9)
+
+
 def test_wand_prunes_something(built, spark):
     """On a skewed corpus the pruning must actually drop blocks for
     multi-term queries with a rare + hot term mix (sanity that phase 2 is not

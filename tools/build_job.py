@@ -30,7 +30,19 @@ def main() -> None:
     from goldenretriever_spark.index.build import build_index
     from goldenretriever_spark.session import get_spark
 
-    spark = get_spark("gr-build-job", cores=cpus, shuffle_partitions=2 * max(cpus, 8))
+    # shuffle partitions scale with DATA, not cores (same count at every
+    # parallelism level so the plans are identical): a 3.84M-doc postings
+    # shuffle at 16 partitions is ~500 MB/partition — at 8 concurrent tasks
+    # in one 16g JVM that spills, while 2 tasks fit, silently destroying
+    # measured scaling efficiency. ~50k docs/partition keeps every task's
+    # agg/sort working set in memory at all levels.
+    parts = int(os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", max(2 * max(cpus, 8), n_docs // 50_000)
+    ))
+    spark = get_spark(
+        "gr-build-job", cores=cpus, shuffle_partitions=parts,
+        extra_conf={"spark.io.compression.codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4")},
+    )
     cache = f"/tmp/gr_bench_corpus_{n_docs}.parquet"
     if not os.path.exists(cache):
         corpus.synth_corpus(spark, n_docs, seed=42, partitions=256).write.mode(
