@@ -68,10 +68,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # source, n_chars — the simple tokenizer is lower + whitespace split).
 # ---------------------------------------------------------------------------
 
-_TOKS_CTE = r"""
+# whitespace class comes from the engine tokenizer (NOT '\s+': RE2's \s
+# excludes \x0b, DuckDB's includes it — SIMPLE_SPLIT_SQL is the shared truth)
+from goldenretriever_spark.tokenizer import SIMPLE_SPLIT_SQL as _WS
+
+_TOKS_CTE = rf"""
 toks AS (
   SELECT doc_id, t.term
-  FROM documents, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t(term)
+  FROM documents, unnest(string_split_regex(lower(trim(text)), '{_WS}')) AS t(term)
   WHERE t.term <> ''
 ),
 postings AS (

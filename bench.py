@@ -33,7 +33,12 @@ def main() -> None:
     from goldenretriever_spark.index.blocks import pack_blocks
     from goldenretriever_spark.index.build import build_index
     from goldenretriever_spark.query import bm25
-    from goldenretriever_spark.query.wand import wand_top_k
+    from goldenretriever_spark.query.wand import (
+        WAND_CROSSOVER_N_DOCS,
+        brute_top_k_stored,
+        top_k_auto,
+        wand_top_k,
+    )
     from goldenretriever_spark.session import get_spark
 
     spark = get_spark("gr-bench", cores=CPUS, shuffle_partitions=max(CPUS, 8))
@@ -70,13 +75,27 @@ def main() -> None:
     bm25.top_k(idx, terms, k=10).count()
     timings["bm25_brute_batch50"] = time.time() - t0
 
-    # -- q3: block-max WAND over the compressed index ------------------------
+    # -- q3: stored-index top-k with measured brute/WAND dispatch ------------
+    # top_k_auto picks the unpruned decode below the measured crossover
+    # (~2M docs) and block-max WAND above it; both raw paths are timed below
+    # as diagnostics so the dispatch decision stays auditable.
     t0 = time.time()
-    wand_top_k(
-        spark, blocks, idx.corpus_stats, qlist, k=10,
-        n_term_buckets=None,
+    auto = top_k_auto(spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None)
+    auto.count()
+    timings["bm25_stored_auto_batch50"] = time.time() - t0
+
+    diagnostics: dict[str, object] = {
+        "auto_path": "wand" if BENCH_DOCS >= WAND_CROSSOVER_N_DOCS else "brute_stored",
+        "wand_crossover_n_docs": WAND_CROSSOVER_N_DOCS,
+    }
+    t0 = time.time()
+    wand_top_k(spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None).count()
+    diagnostics["raw_wand_batch50_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    brute_top_k_stored(
+        spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None
     ).count()
-    timings["bm25_wand_batch50"] = time.time() - t0
+    diagnostics["raw_brute_stored_batch50_sec"] = round(time.time() - t0, 3)
 
     # -- q4: TPC-H-ish pricing summary (agg) over sf lineitem ----------------
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -121,6 +140,7 @@ def main() -> None:
                 "build_docs": BENCH_DOCS,
                 "build_files_per_sec": round(build_files_per_sec, 1),
                 "n_posting_blocks": n_blocks,
+                "diagnostics": diagnostics,
             }
         )
     )

@@ -26,6 +26,8 @@ lookup into a partition-pruned parquet scan.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -127,6 +129,52 @@ def brute_top_k_stored(
     )
 
 
+# Measured brute-stored vs WAND crossover on the bench host
+# (tools/wand_crossover.py; BENCH/BASELINE.md "Block-max WAND vs unpruned
+# decode"): at 1.92M docs pruning is still a wash (0.97x), at 3.84M it wins
+# 3.03x and the gap widens with corpus size. Below the crossover the
+# θ-seeding pass, bound joins and survivor blob join-back cost more than
+# the skipped decodes save.
+WAND_CROSSOVER_N_DOCS = 2_000_000
+
+
+def top_k_auto(
+    spark: SparkSession,
+    posting_blocks: DataFrame,
+    corpus_stats: DataFrame,
+    queries,
+    k: int = 10,
+    tokenizer: str = "simple",
+    seed_factor: int = 4,
+    n_term_buckets: int | None = None,
+    crossover: int | None = None,
+) -> DataFrame:
+    """Top-k over the stored index, auto-dispatching brute-stored vs WAND.
+
+    Both paths answer from the same compressed blocks and are rank-identical
+    (tests/test_wand.py); the ONLY difference is whether the θ-pruning
+    machinery pays for itself, which is a function of corpus size. n_docs
+    comes from corpus_stats (1 row, already materialized by the index build);
+    the threshold is the measured ``WAND_CROSSOVER_N_DOCS``, overridable per
+    call or via $SPARK_GRAFT_WAND_CROSSOVER.
+    """
+    if crossover is None:
+        crossover = int(
+            os.environ.get("SPARK_GRAFT_WAND_CROSSOVER", WAND_CROSSOVER_N_DOCS)
+        )
+    n_docs = int(corpus_stats.select("n_docs").first()["n_docs"])
+    if n_docs >= crossover:
+        return wand_top_k(
+            spark, posting_blocks, corpus_stats, queries, k=k,
+            tokenizer=tokenizer, seed_factor=seed_factor,
+            n_term_buckets=n_term_buckets,
+        )
+    return brute_top_k_stored(
+        spark, posting_blocks, corpus_stats, queries, k=k,
+        tokenizer=tokenizer, n_term_buckets=n_term_buckets,
+    )
+
+
 def wand_top_k(
     spark: SparkSession,
     posting_blocks: DataFrame,
@@ -206,13 +254,14 @@ def wand_top_k(
         w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         # θ is tiny (≤1 row per query) — collect it eagerly; this also
         # populates the meta cache before phase 2 reuses it
-        theta_rows = (
+        theta_sel = (
             seed_scores.withColumn("rn", F.row_number().over(w_rank))
             .filter(F.col("rn") == k)
             .select("query_id", F.col("score").alias("theta"))
-            .collect()
         )
-        theta = spark.createDataFrame(theta_rows, "query_id long, theta double")
+        # schema comes from the plan, not a DDL literal: callers may pass a
+        # queries DataFrame whose query_id is not long
+        theta = spark.createDataFrame(theta_sel.collect(), theta_sel.schema)
 
         # ---- phase 2: prune blocks, decode survivors, exact-score ----
         survivors = (

@@ -52,7 +52,7 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:+UseParallelGC"
             + (
-                f" -XX:ParallelGCThreads={max(int(cores), 2)}"
+                f" -XX:ParallelGCThreads={max(int(cores), 1)}"
                 if str(cores).isdigit() and os.environ.get("SPARK_GRAFT_PIN_GC", "1") == "1"
                 else ""
             ),

@@ -87,3 +87,29 @@ def test_wand_prunes_something(built, spark):
     qlist = [(0, "def cache_buffer")]
     res = wand_top_k(spark, blocks, idx.corpus_stats, qlist, k=5)
     assert res.count() == 5
+
+
+def test_top_k_auto_dispatch_both_sides(built, spark):
+    """top_k_auto must be rank-identical to brute force on BOTH sides of the
+    crossover threshold (the dispatch changes the plan, never the answer)."""
+    from goldenretriever_spark.query.wand import top_k_auto
+
+    idx, blocks = built
+    queries = corpus.reference_queries(15, seed=7)
+    qlist = [(int(r.query_id), r.query_str) for r in queries.itertuples()]
+    terms = bm25.query_terms_df(spark, qlist)
+    brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
+    # crossover above n_docs -> brute-stored path; below -> WAND path
+    for crossover in (N_DOCS * 10, 1):
+        auto = _collect_ranked(
+            top_k_auto(
+                spark, blocks, idx.corpus_stats, qlist, k=K, crossover=crossover
+            ).collect()
+        )
+        assert set(brute) == set(auto), f"crossover={crossover}"
+        for qid in brute:
+            assert [d for d, _ in brute[qid]] == [d for d, _ in auto[qid]], (
+                f"crossover={crossover} q{qid}"
+            )
+            for (_, sb), (_, sp) in zip(brute[qid], auto[qid]):
+                assert math.isclose(sb, sp, rel_tol=1e-9)
