@@ -323,9 +323,14 @@ def _stream_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="repo string, path string, commit string, lang string, content string, doc_id long",
         )
         postings = streamed_index_views(spark, f"{tmp}/out").postings
-        return spark.createDataFrame(
-            postings.collect(), "term string, doc_id long, tf long, doc_len long"
-        )
+        # the streaming scratch dir is deleted below, so the returned frame
+        # must not read from it — re-materialize to a stable scratch parquet
+        # (distributed write/read; never a full-frame collect to the driver)
+        out = "/tmp/gr_entry_stream_postings.parquet"
+        postings.select("term", "doc_id", "tf", "doc_len").write.mode(
+            "overwrite"
+        ).parquet(out)
+        return spark.read.parquet(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

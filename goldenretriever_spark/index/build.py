@@ -47,25 +47,99 @@ class InvertedIndex:
     term_stats: DataFrame    # term:string, df:long
 
 
-def with_doc_ids(documents: DataFrame) -> DataFrame:
+def with_doc_ids(documents: DataFrame, resolve_collisions: bool = False) -> DataFrame:
     """Attach doc_id + sha256(content) to an input_hint-shaped corpus.
 
     doc_id = xxhash64(repo, path, commit) — deterministic, distributed, no
     shuffle. If the frame already carries doc_id (driver testdata), keep it.
     sha256 is the per-row content invariant (BASELINE.json input_hint).
+
+    resolve_collisions routes hash collisions through a deterministic seeded
+    rehash (see resolve_doc_id_collisions). It costs one groupBy shuffle over
+    the key projection, so it is opt-in: expected collisions are ~0 below
+    ~10^9 docs (birthday bound on 64-bit ids: n^2 / 2^65 ≈ 3e-4 at 10^8) but
+    ~27 per 10^12 — production builds at that design point MUST enable it or
+    colliding docs silently merge postings.
     """
     out = documents
     if "doc_id" not in documents.columns:
         out = out.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        if resolve_collisions:
+            out = resolve_doc_id_collisions(out)
     return out.withColumn("sha256", F.sha2(F.col("content"), 256))
 
 
-def tokenized(documents: DataFrame, tokenizer: str = "simple") -> DataFrame:
+def resolve_doc_id_collisions(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    max_rounds: int = 4,
+    _hash=None,
+) -> DataFrame:
+    """Deterministically rehash colliding doc_ids to a collision-free fixpoint.
+
+    A collision is one doc_id shared by >=2 DISTINCT (repo, path, commit)
+    keys (duplicate rows of the same key are the same doc, not a collision).
+    Round r >= 1 reassigns ONLY the colliding rows to
+    ``xxhash64(*key_cols, lit(r))`` — a seeded rehash that is a pure function
+    of the key and the round, so the id mapping is reproducible across
+    cluster sizes and resumable builds. Detection is one groupBy over the
+    key projection; the colliding-id set is broadcast back (at the 10^12-file
+    design point the birthday bound predicts ~27 collisions — tiny), so
+    non-colliding rows are never shuffled. Loops until no collisions remain,
+    then fails loudly rather than merging postings silently.
+
+    ``_hash(r) -> Column`` is injectable so tests can force collisions with a
+    mock hash at round 0 (tests/test_round3.py).
+    """
+    if _hash is None:
+        def _hash(r: int):
+            return F.xxhash64(*key_cols, F.lit(r))
+
+    for rnd in range(1, max_rounds + 1):
+        bad = (
+            docs.groupBy("doc_id")
+            .agg(F.countDistinct(*key_cols).alias("k"))
+            .filter(F.col("k") > 1)
+            .select("doc_id", F.lit(True).alias("__collides"))
+        )
+        if bad.isEmpty():
+            return docs
+        docs = (
+            docs.join(F.broadcast(bad), "doc_id", "left")
+            .withColumn(
+                "doc_id",
+                F.when(F.col("__collides"), _hash(rnd)).otherwise(F.col("doc_id")),
+            )
+            .drop("__collides")
+        )
+    n_left = (
+        docs.groupBy("doc_id")
+        .agg(F.countDistinct(*key_cols).alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    if n_left:
+        raise RuntimeError(
+            f"doc_id collisions persist after {max_rounds} rehash rounds: {n_left}"
+        )
+    return docs
+
+
+def tokenized(
+    documents: DataFrame, tokenizer: str = "simple", resolve_collisions: bool = False
+) -> DataFrame:
     """documents + doc_id/sha256 + tokens:array<string>."""
-    return with_doc_ids(documents).withColumn("tokens", tokens_column(F.col("content"), tokenizer))
+    return with_doc_ids(documents, resolve_collisions=resolve_collisions).withColumn(
+        "tokens", tokens_column(F.col("content"), tokenizer)
+    )
 
 
-def build_index(documents: DataFrame, tokenizer: str = "simple", persist: bool = True) -> InvertedIndex:
+def build_index(
+    documents: DataFrame,
+    tokenizer: str = "simple",
+    persist: bool = True,
+    resolve_collisions: bool = False,
+) -> InvertedIndex:
     """Build the uncompressed logical index from an input_hint corpus.
 
     Single-cache design: only POSTINGS are persisted; every build-path stat
@@ -89,7 +163,9 @@ def build_index(documents: DataFrame, tokenizer: str = "simple", persist: bool =
     """
     from pyspark import StorageLevel
 
-    toks = tokenized(documents, tokenizer).select("doc_id", "sha256", "tokens")
+    toks = tokenized(
+        documents, tokenizer, resolve_collisions=resolve_collisions
+    ).select("doc_id", "sha256", "tokens")
 
     # doc_len rides along in the groupBy key (same cardinality as
     # (term,doc_id)) so neither the build nor the query path ever needs a
@@ -128,9 +204,9 @@ def build_index(documents: DataFrame, tokenizer: str = "simple", persist: bool =
 def check_doc_id_collisions(documents: DataFrame) -> int:
     """Count xxhash64 doc_id collisions (distinct (repo,path,commit) keys that
     share a doc_id). At 10^12 rows collisions are expected (~birthday bound);
-    the remediation is deterministic rehash with a seed column — exposed here
-    so the build job can assert 0 at test scale and route collisions at real
-    scale."""
+    the remediation is resolve_doc_id_collisions (seeded deterministic
+    rehash) — this counter is the cheap assertion for builds that left it
+    off."""
     d = with_doc_ids(documents)
     return (
         d.groupBy("doc_id")

@@ -36,16 +36,18 @@ MAX_BUCKET_SIZE = 1000
 def _drop_hot_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
     """Remove all rows belonging to bucket keys with > cap members.
 
-    groupBy shares its shuffle key with the downstream self-join; the
-    oversized-key list is tiny (viral boilerplate only) so the anti-join is
-    broadcast."""
+    groupBy shares its shuffle key with the downstream self-join. The
+    oversized-key list is usually tiny (viral boilerplate only), but on a
+    heavily templated corpus MANY buckets can exceed the cap — no forced
+    broadcast hint here; AQE broadcasts the anti-join side when it is
+    actually small and falls back to a shuffled join when it is not."""
     big = (
         df.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("bucket_n"))
         .filter(F.col("bucket_n") > cap)
         .select(*keys)
     )
-    return df.join(F.broadcast(big), keys, "left_anti")
+    return df.join(big, keys, "left_anti")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -149,13 +151,18 @@ def q_ngram_jaccard_pairs(
     what it replaces). Shingles appearing in > ``max_shingle_df`` docs are
     dropped before the join (hot-shingle cap): they are non-discriminative
     and would otherwise make one boilerplate shingle quadratic. With the cap
-    active the Jaccard is computed over the surviving shingle set — the
-    DuckDB oracle applies the identical cap."""
+    active the Jaccard is computed over the surviving shingle set — |A|/|B|
+    are recounted AFTER the cap (not the raw sizes), so dropping a hot
+    shingle from both docs cannot bias J downward and drop true near-dups —
+    the DuckDB oracle applies the identical cap + recount."""
     d = _docs(spark, sf_dir).select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sized = d.select("doc_id", "sh", F.size("sh").alias("n_sh"))
-    ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    ex = d.select("doc_id", F.explode("sh").alias("shingle"))
     if max_shingle_df:
         ex = _drop_hot_buckets(ex, ["shingle"], max_shingle_df)
+    # per-doc surviving-shingle count; shares the doc_id shuffle with nothing
+    # downstream (the candidate join shuffles on shingle) but is n_docs-sized
+    sized = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex = ex.join(sized, "doc_id")
     a = ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
     b = ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
     common = (
@@ -257,27 +264,64 @@ def q_simhash_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    e: DataFrame,
+    threshold: float = 0.35,
+    probe_radius: int = 1,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by deterministic LSH
+    bucket (random-hyperplane sign bits — the SAME bucketing the ANN path
+    uses, ann.bucket_col), never all-pairs.
+
+    Recall knob: with probe_radius=1 a pair is a candidate iff the two
+    buckets differ in <= 1 sign bit (multi-probe, Lv et al. VLDB'07) — docs
+    straddling one hyperplane are still found; cost is (1+P)/2^P of the
+    full cross-join at P planes. Hot buckets are capped like every other
+    dedup blocking key (viral boilerplate must not go quadratic). Hyperplanes
+    are seeded literals, so the DuckDB oracle recomputes identical buckets.
+
+    e: DataFrame(vec_id, embedding: array<float>, ...).
+    """
+    from goldenretriever_spark.operators.ann import (
+        bucket_col,
+        cosine_col,
+        hyperplanes,
+    )
+
+    planes = hyperplanes()
+    assert probe_radius <= 1, "radius>1: extend probe masks with multi-bit flips"
+    masks = [0] + ([2**p for p in range(len(planes))] if probe_radius else [])
+
+    eb = e.select("vec_id", "embedding").withColumn(
+        "bucket", bucket_col(F.col("embedding"), planes)
+    )
+    if max_bucket_size:
+        eb = _drop_hot_buckets(eb, ["bucket"], max_bucket_size)
+    a = (
+        eb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+        .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in masks])))
+        .withColumn("bucket", F.col("bucket").bitwiseXOR(F.col("mask")))
+        .drop("mask")
+    )
+    b = eb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    cos = cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_col(F.col("va"), F.col("vb")) * 10000).cast("long").alias("cosine_q"),
+    )
+    return cos.filter(F.col("cosine_q") >= int(threshold * 10000))
+
+
 def q_embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label (the blocking
-    key stands in for an LSH bucket — candidate pairs only form within a
-    block, never across the full corpus)."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dot = lambda x, y: F.aggregate(  # noqa: E731
-        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return embedding_neardup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=threshold
     )
-    norm = lambda x: F.sqrt(dot(x, x))  # noqa: E731
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "label")
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "label")
-    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
-    cos = pairs.select(
-        "id_a",
-        "id_b",
-        F.round(dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))) * 10000)
-        .cast("long")
-        .alias("cosine_q"),
-    )
-    return cos.filter(F.col("cosine_q") >= int(threshold * 10000))

@@ -191,9 +191,12 @@ WHERE a.doc_id < b.doc_id
 """,
     "dedup_ngram_jaccard": f"""
 WITH t AS (SELECT doc_id, {SHINGLES} AS sh FROM documents),
-s AS (SELECT doc_id, sh, len(sh)::BIGINT AS n_sh FROM t),
-raw_ex AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM s),
-ex AS (SELECT * FROM raw_ex QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+raw_ex AS (SELECT doc_id, unnest(sh) AS shingle FROM t),
+surv AS (SELECT * FROM raw_ex QUALIFY count(*) OVER (PARTITION BY shingle) <= 1000),
+-- |A|/|B| are the SURVIVING shingle counts (post-cap), matching the engine
+ex AS (SELECT doc_id, shingle,
+              count(*) OVER (PARTITION BY doc_id)::BIGINT AS n_sh
+       FROM surv),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*)::BIGINT AS common
@@ -221,19 +224,32 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """,
-    "dedup_embedding_neardup": """
-WITH a AS (SELECT vec_id, embedding, label FROM embeddings)
-SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-       CAST(round(list_dot_product(x.embedding, y.embedding)
-            / (sqrt(list_dot_product(x.embedding, x.embedding))
-               * sqrt(list_dot_product(y.embedding, y.embedding))) * 10000) AS BIGINT) AS cosine_q
-FROM a x JOIN a y USING (label)
-WHERE x.vec_id < y.vec_id
-  AND CAST(round(list_dot_product(x.embedding, y.embedding)
-      / (sqrt(list_dot_product(x.embedding, x.embedding))
-         * sqrt(list_dot_product(y.embedding, y.embedding))) * 10000) AS BIGINT) >= 3500
-""",
 }
+
+
+def _dedup_embedding_sql() -> str:
+    """LSH-bucket-blocked embedding near-dup twin: identical seeded
+    hyperplane buckets, radius-1 probe (candidate iff bucket Hamming <= 1),
+    1000-cap on exact buckets, exact cosine verify."""
+    from goldenretriever_spark.operators.ann import hyperplanes
+
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product({{v}}, {plane!r}::DOUBLE[]) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p, plane in enumerate(hyperplanes())
+    )
+    cos = (
+        "CAST(round(list_dot_product(x.embedding, y.embedding)"
+        " / (sqrt(list_dot_product(x.embedding, x.embedding))"
+        " * sqrt(list_dot_product(y.embedding, y.embedding))) * 10000) AS BIGINT)"
+    )
+    return f"""
+WITH eb AS (SELECT vec_id, embedding, ({bits.format(v="embedding")}) AS bucket FROM embeddings),
+capped AS (SELECT * FROM eb QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000)
+SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cosine_q
+FROM capped x JOIN capped y
+  ON bit_count(xor(x.bucket, y.bucket)) <= 1 AND x.vec_id < y.vec_id
+WHERE {cos} >= 3500
+"""
 
 
 def _ann_scored_sql(bucketed: bool, planes: list[list[float]] | None = None) -> str:
@@ -287,5 +303,6 @@ def all_oracles() -> dict[str, str]:
     out.update(RELATIONAL)
     out.update(TEXTSTATS)
     out.update(DEDUP)
+    out["dedup_embedding_neardup"] = _dedup_embedding_sql()
     out.update(ann_oracles())
     return out

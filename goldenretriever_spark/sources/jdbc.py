@@ -14,8 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_jdbc(
-    spark: SparkSession,
+def jdbc_options(
     url: str,
     table: str,
     user: str | None = None,
@@ -25,28 +24,28 @@ def read_jdbc(
     upper_bound: int | None = None,
     num_partitions: int = 8,
     fetchsize: int = 10_000,
-) -> DataFrame:
-    """Partitioned JDBC read. With partition_column + bounds, Spark issues
-    num_partitions range-sliced queries in parallel (the only way a JDBC scan
-    scales); without them the read is a single task — fine for dim tables
-    only."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("dbtable", table)
-        .option("fetchsize", str(fetchsize))
-    )
+) -> dict[str, str]:
+    """Build the JDBC reader option map (pure — unit-testable without a
+    driver jar). With partition_column + bounds, Spark issues num_partitions
+    range-sliced queries in parallel (the only way a JDBC scan scales);
+    without them the read is a single task — fine for dim tables only."""
+    opts = {"url": url, "dbtable": table, "fetchsize": str(fetchsize)}
     if user is not None:
-        reader = reader.option("user", user)
+        opts["user"] = user
     if password is not None:
-        reader = reader.option("password", password)
+        opts["password"] = password
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError("partition_column requires lower_bound and upper_bound")
-        reader = (
-            reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(lower_bound))
-            .option("upperBound", str(upper_bound))
-            .option("numPartitions", str(num_partitions))
+        opts.update(
+            partitionColumn=partition_column,
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+            numPartitions=str(num_partitions),
         )
-    return reader.load()
+    return opts
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **kwargs) -> DataFrame:
+    """Partitioned JDBC read; see jdbc_options for the knobs."""
+    return spark.read.format("jdbc").options(**jdbc_options(url, table, **kwargs)).load()

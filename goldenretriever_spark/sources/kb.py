@@ -34,11 +34,16 @@ def parse_csv(
     """QA CSV -> kb tables. Sniffed schema like pandas read_csv
     (kb_handler.py:269-270); missing context defaults to ''
     (kb_handler.py:141-146); 'nan' query strings dropped (kb_handler.py:363).
-    ``cutoff`` keeps only the first N raw rows, the reference's sample-size
-    cutoff (data_preprocessing.py:75-89, SURVEY S2)."""
+    ``cutoff`` keeps only the first N raw rows IN FILE ORDER, the reference's
+    sample-size cutoff (data_preprocessing.py:75-89, SURVEY S2). Spark's
+    ``limit`` alone does not promise file order on a multi-split scan, so the
+    scan is coalesced to one partition first — correct and cheap here because
+    QA knowledge bases are small curated files (the reference loads them
+    whole into pandas); a cutoff over a multi-file corpus has no defined
+    "first N" to preserve."""
     raw = spark.read.csv(path, header=True, inferSchema=True)
     if cutoff is not None:
-        raw = raw.limit(cutoff)
+        raw = raw.coalesce(1).limit(cutoff)
     cols = {c.lower(): c for c in raw.columns}
     ctx = (
         F.coalesce(F.col(cols[context_col.lower()]).cast("string"), F.lit(""))

@@ -89,3 +89,12 @@ def querylog_view(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("feedback_timestamp", F.coalesce("fb_ts", "feedback_timestamp"))
         .drop("fb_is_correct", "fb_ts")
     )
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Table -> CSV export (SURVEY S7; reference index_extract.py:9-30 pulls
+    an ES index into pandas and .to_csv's it). Distributed writer with a
+    header per part-file; ``single_file`` coalesces first — only for small
+    exports (the reference's use case), a 100 TB table stays multi-part."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)

@@ -1,0 +1,142 @@
+"""Round-3 additions: doc_id collision rehash, brute/WAND auto-dispatch
+support pieces, S7 csv export roundtrip, S8 jdbc option plumbing."""
+
+from pyspark.sql import functions as F
+
+from goldenretriever_spark.index.build import (
+    build_index,
+    check_doc_id_collisions,
+    resolve_doc_id_collisions,
+    with_doc_ids,
+)
+
+
+def _docs(spark, n=6):
+    return spark.createDataFrame(
+        [(f"repo{i}", f"src/f{i}.py", f"c{i}", "py", f"def fn{i}(): return {i}")
+         for i in range(n)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+def test_collision_rehash_separates_forced_collisions(spark):
+    """Two+ distinct (repo,path,commit) keys engineered onto one doc_id via a
+    mock hash must end up distinct, and postings/doc_stats keep all docs."""
+    docs = _docs(spark, 6)
+    # mock round-0 assignment: 6 keys crushed into 2 ids
+    collided = docs.withColumn(
+        "doc_id", F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(2))
+    )
+    assert collided.select("doc_id").distinct().count() == 2
+
+    fixed = resolve_doc_id_collisions(collided)
+    assert fixed.select("doc_id").distinct().count() == 6
+    assert (
+        fixed.groupBy("doc_id")
+        .agg(F.countDistinct("repo", "path", "commit").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    # deterministic: same input -> same ids
+    again = resolve_doc_id_collisions(collided)
+    key = lambda df: sorted(  # noqa: E731
+        (r["repo"], r["doc_id"]) for r in df.select("repo", "doc_id").collect()
+    )
+    assert key(fixed) == key(again)
+
+    # the index keeps every doc distinct (no silently merged postings)
+    idx = build_index(fixed, tokenizer="simple", persist=False)
+    assert idx.doc_stats.select("doc_id").distinct().count() == 6
+    assert idx.postings.select("doc_id").distinct().count() == 6
+
+
+def test_collision_rehash_multi_round_fixpoint(spark):
+    """A mock hash that still collides at round 1 forces a second round."""
+    docs = _docs(spark, 6).withColumn("doc_id", F.lit(7))
+
+    def mock_hash(r):
+        if r == 1:  # still crushes into 3 buckets -> some collisions remain
+            return F.pmod(F.xxhash64("repo", "path", "commit", F.lit(r)), F.lit(3))
+        return F.xxhash64("repo", "path", "commit", F.lit(r))
+
+    fixed = resolve_doc_id_collisions(docs, _hash=mock_hash)
+    assert fixed.select("doc_id").distinct().count() == 6
+
+
+def test_collision_rehash_fails_loudly_when_unresolvable(spark):
+    import pytest
+
+    docs = _docs(spark, 3).withColumn("doc_id", F.lit(1))
+    with pytest.raises(RuntimeError, match="collisions persist"):
+        resolve_doc_id_collisions(docs, max_rounds=2, _hash=lambda r: F.lit(1))
+
+
+def test_with_doc_ids_resolve_flag(spark):
+    """resolve_collisions=True on the public entry is a no-op on a clean
+    corpus and keeps ids identical to the unresolved assignment."""
+    docs = _docs(spark, 8)
+    plain = with_doc_ids(docs).select("repo", "doc_id").collect()
+    resolved = with_doc_ids(docs, resolve_collisions=True).select("repo", "doc_id").collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, resolved))
+    assert check_doc_id_collisions(docs) == 0
+
+
+def test_embedding_neardup_finds_cross_label_pair(spark):
+    """r2 blocked on `label` and silently missed cross-label near-dups; the
+    LSH-bucket blocking must find a near-identical pair with different
+    labels (label no longer participates at all)."""
+    import numpy as np
+
+    from goldenretriever_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    near = base + 0.01 * rng.standard_normal(64)
+    far = rng.standard_normal(64)
+    rows = [
+        (1, [float(x) for x in base], "labA"),
+        (2, [float(x) for x in near], "labB"),
+        (3, [float(x) for x in far], "labA"),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(e, threshold=0.9).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_export_csv_roundtrip(spark, tmp_path):
+    """S7: table -> csv -> table keeps rows and columns (header on)."""
+    from goldenretriever_spark.sources.sinks import export_csv
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", -2.0), (3, "gamma, quoted", 0.0)],
+        "id long, name string, score double",
+    )
+    out = str(tmp_path / "export")
+    export_csv(df, out, single_file=True)
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert sorted(back.columns) == sorted(df.columns)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jdbc_option_plumbing():
+    """S8: partitionColumn/bounds/numPartitions land in the reader options;
+    bounds are mandatory with a partition column (no silent single-task
+    scan). No driver jar ships in the sandbox, so load() is not exercised."""
+    import pytest
+
+    from goldenretriever_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options(
+        "jdbc:postgresql://db/gr", "querylog", user="u", password="p",
+        partition_column="id", lower_bound=0, upper_bound=10_000,
+        num_partitions=16, fetchsize=5000,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["lowerBound"] == "0" and opts["upperBound"] == "10000"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "5000"
+    assert opts["url"].startswith("jdbc:postgresql")
+    with pytest.raises(ValueError, match="bound"):
+        jdbc_options("jdbc:x", "t", partition_column="id")
