@@ -58,6 +58,29 @@ def _bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-max WAND top-k over the COMPRESSED stored-index path (SURVEY
+    §2.5 W1-W3 on the pruned engine): same oracle as bm25_topk because
+    θ-pruning is lossless (Ding & Suel 2011; tests/test_wand.py). Ranking is
+    re-derived from quantized scores so the tie discipline matches the
+    oracle exactly."""
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.query.wand import wand_top_k
+
+    docs = _documents(spark, sf_dir)
+    idx = build_index(docs, tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=16, target_docs_per_group=200)
+    res = wand_top_k(spark, blocks, idx.corpus_stats, FLAGSHIP_QUERIES, k=K)
+    scored = res.withColumn("score_q", F.round(F.col("score") * 10000).cast("long"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "doc_id", "score_q", "rank")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _bm25_topk(spark, SF_SMOKE)
@@ -341,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- IR / BM25 core (SURVEY §2.1, §2.3 J5, §2.4 A7-A8, §2.5-2.6) ---
         "bm25_topk": _bm25_topk,
+        "bm25_wand_topk": _bm25_wand_topk,
         "bm25_explain": _bm25_explain,
         "ir_postings_tf": _postings_tf,
         "ir_doc_stats_sha256": _doc_stats,
@@ -538,6 +562,8 @@ SELECT p.term, p.doc_id, p.tf, s.doc_len
 FROM postings p JOIN doc_stats s USING (doc_id)
 """,
         "bm25_topk": _bm25_topk_sql(),
+        # lossless pruning: the WAND path answers the SAME oracle
+        "bm25_wand_topk": _bm25_topk_sql(),
         "ir_postings_tf": f"""
 WITH {_TOKS_CTE}
 SELECT p.term, p.doc_id, p.tf, s.doc_len

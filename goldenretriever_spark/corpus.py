@@ -168,6 +168,31 @@ def reference_queries(n_queries: int = 50, seed: int = 42) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["query_id", "query_str"])
 
 
+def fixed_length_queries(
+    n_queries: int = 50, n_terms: int = 3, seed: int = 42
+) -> pd.DataFrame:
+    """Seeded queries with EXACTLY n_terms terms each — the control knob for
+    the WAND crossover sweep (k x query-length cells): same hot/mid/absent
+    term mixture as reference_queries, length held fixed."""
+    rng = np.random.default_rng([seed, 10_000_019, n_terms])
+    vocab_hot = KEYWORDS[:6]
+    vocab_mid = IDENT_STEMS
+    vocab_absent = ["zzzmissing", "notindex", "qqq"]
+    rows = []
+    for qid in range(n_queries):
+        terms = []
+        for _ in range(n_terms):
+            r = rng.random()
+            if r < 0.4:
+                terms.append(vocab_hot[int(rng.integers(0, len(vocab_hot)))])
+            elif r < 0.9:
+                terms.append(vocab_mid[int(rng.integers(0, len(vocab_mid)))])
+            else:
+                terms.append(vocab_absent[int(rng.integers(0, len(vocab_absent)))])
+        rows.append({"query_id": qid, "query_str": " ".join(terms)})
+    return pd.DataFrame(rows, columns=["query_id", "query_str"])
+
+
 # --- driver testdata adapter ---
 
 def driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

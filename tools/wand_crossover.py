@@ -49,6 +49,70 @@ def ensure_index(spark, n_docs: int) -> str:
     return idx_path
 
 
+def _time_best(fn, runs: int):
+    best = None
+    rows = None
+    for _ in range(runs):
+        t0 = time.time()
+        out = fn()
+        r = out.collect()
+        dt = time.time() - t0
+        if best is None or dt < best:
+            best, rows = dt, r
+    return best, rows
+
+
+def _rank_key(rows):
+    return sorted((r["query_id"], r["rank"], r["doc_id"]) for r in rows)
+
+
+def sweep(n_docs: int, runs: int, ks: list[int], qlens: list[int]) -> None:
+    """k x query-length crossover sweep at one corpus size (VERDICT r2 #8):
+    WAND's advantage shrinks with large k (θ sits lower) and long queries
+    (more terms -> higher sum-of-ub bounds -> fewer pruned blocks); one
+    measured table makes the dispatch threshold trustworthy. Writes
+    BENCH/WAND_SWEEP.json; rank-identity asserted in every cell."""
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.storage import StoredIndex
+    from goldenretriever_spark.query.wand import brute_top_k_stored, wand_top_k
+    from goldenretriever_spark.session import get_spark
+
+    spark = get_spark("gr-wand-sweep", cores=32, shuffle_partitions=32)
+    idx_path = ensure_index(spark, n_docs)
+    stored = StoredIndex(spark, idx_path)
+    nb = stored.n_term_buckets
+    blocks, cstats = stored.posting_blocks, stored.corpus_stats
+
+    cells = []
+    for qlen in qlens:
+        qset = corpus.fixed_length_queries(50, n_terms=qlen, seed=42)
+        qlist = [(int(r.query_id), r.query_str) for r in qset.itertuples()]
+        for k in ks:
+            t_brute, r_brute = _time_best(
+                lambda: brute_top_k_stored(spark, blocks, cstats, qlist, k=k,
+                                           n_term_buckets=nb), runs)
+            t_wand, r_wand = _time_best(
+                lambda: wand_top_k(spark, blocks, cstats, qlist, k=k,
+                                   n_term_buckets=nb), runs)
+            cell = {
+                "n_docs": n_docs, "k": k, "query_len": qlen,
+                "brute_stored_sec": round(t_brute, 2),
+                "wand_sec": round(t_wand, 2),
+                "speedup": round(t_brute / t_wand, 2),
+                "rank_identical": _rank_key(r_brute) == _rank_key(r_wand),
+            }
+            cells.append(cell)
+            print(json.dumps(cell), flush=True)
+
+    os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH"), exist_ok=True)
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "WAND_SWEEP.json")
+    with open(out_path, "w") as f:
+        json.dump({"n_docs": n_docs, "runs": runs, "cells": cells}, f, indent=2)
+    print(json.dumps({"sweep_cells": len(cells), "out": out_path}))
+
+
 def main() -> None:
     from goldenretriever_spark import corpus
     from goldenretriever_spark.index.storage import StoredIndex
@@ -58,11 +122,19 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sizes = [int(x) for x in (args[0].split(",") if args else ["240000", "960000", "1920000"])]
     runs, k = 2, 10
+    ks, qlens = [10, 100], [1, 5]
     for i, a in enumerate(sys.argv):
         if a.startswith("--runs"):
             runs = int(a.split("=", 1)[1] if "=" in a else sys.argv[i + 1])
-        if a.startswith("--k"):
+        if a.startswith("--ks"):
+            ks = [int(x) for x in a.split("=", 1)[1].split(",")]
+        elif a.startswith("--k"):
             k = int(a.split("=", 1)[1] if "=" in a else sys.argv[i + 1])
+        if a.startswith("--qlens"):
+            qlens = [int(x) for x in a.split("=", 1)[1].split(",")]
+    if "--sweep" in sys.argv:
+        sweep(sizes[0], runs, ks, qlens)
+        return
 
     spark = get_spark("gr-wand-crossover", cores=32, shuffle_partitions=32)
     qset = corpus.reference_queries(50, seed=42)
