@@ -106,3 +106,20 @@ class StoredIndex:
         except Exception:
             return None
         return int(rows[0]["n_term_buckets"]) if rows else None
+
+    def search(self, queries, k: int = 10, tokenizer: str = "simple") -> DataFrame:
+        """Top-k over this stored index with measured brute/WAND dispatch and
+        the persisted term-bucket count for partition pruning — the one-call
+        serving path (reference models.py:114-149 analog on the compressed
+        index)."""
+        from goldenretriever_spark.query.wand import top_k_auto
+
+        return top_k_auto(
+            self.spark,
+            self.posting_blocks,
+            self.corpus_stats,
+            queries,
+            k=k,
+            tokenizer=tokenizer,
+            n_term_buckets=self.n_term_buckets,
+        )

@@ -140,3 +140,36 @@ def test_jdbc_option_plumbing():
     assert opts["url"].startswith("jdbc:postgresql")
     with pytest.raises(ValueError, match="bound"):
         jdbc_options("jdbc:x", "t", partition_column="id")
+
+
+def test_stored_index_search_dispatch(spark, tmp_path):
+    """StoredIndex.search = write_index -> top_k_auto with the persisted
+    bucket count; must equal the in-memory brute ranking."""
+    import math
+
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.index.storage import StoredIndex, write_index
+    from goldenretriever_spark.query import bm25
+
+    docs = spark.createDataFrame(corpus.synth_corpus_pandas(200, seed=13))
+    idx = build_index(docs, tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=16, target_docs_per_group=60, n_term_buckets=8)
+    path = str(tmp_path / "idx")
+    write_index(idx, path, blocks=blocks, n_term_buckets=8)
+
+    qlist = [(0, "def return"), (1, "cache buffer fast")]
+    stored = StoredIndex(spark, path)
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in stored.search(qlist, k=5).collect()
+    )
+    terms = bm25.query_terms_df(spark, qlist)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25.top_k(idx, terms, k=5).collect()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[3], w[3], rel_tol=1e-9)

@@ -104,12 +104,28 @@ def sweep(n_docs: int, runs: int, ks: list[int], qlens: list[int]) -> None:
             cells.append(cell)
             print(json.dumps(cell), flush=True)
 
+    # the dispatcher itself, on the standard 50-query reference batch: must
+    # land within noise of the winning raw path at this corpus size
+    from goldenretriever_spark.query.wand import WAND_CROSSOVER_N_DOCS, top_k_auto
+
+    qset = corpus.reference_queries(50, seed=42)
+    qlist = [(int(r.query_id), r.query_str) for r in qset.itertuples()]
+    t_auto, _ = _time_best(
+        lambda: top_k_auto(spark, blocks, cstats, qlist, k=10, n_term_buckets=nb),
+        runs,
+    )
+    auto = {
+        "auto_sec": round(t_auto, 2),
+        "auto_path": "wand" if n_docs >= WAND_CROSSOVER_N_DOCS else "brute_stored",
+    }
+    print(json.dumps(auto), flush=True)
+
     os.makedirs(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH"), exist_ok=True)
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "WAND_SWEEP.json")
     with open(out_path, "w") as f:
-        json.dump({"n_docs": n_docs, "runs": runs, "cells": cells}, f, indent=2)
+        json.dump({"n_docs": n_docs, "runs": runs, "cells": cells, **auto}, f, indent=2)
     print(json.dumps({"sweep_cells": len(cells), "out": out_path}))
 
 
