@@ -48,6 +48,18 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = EMB_DIM, seed: int = 42) ->
     return [[round(float(v), 6) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """All bucket-id XOR masks within Hamming distance <= radius: the probe
+    fan-out for multi-probe LSH (sum of C(n_planes, r) for r <= radius)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(radius, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            masks.append(sum(2**b for b in bits))
+    return masks
+
+
 def bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
     out = F.lit(0)
@@ -100,8 +112,7 @@ def q_ann_lsh_multiprobe(
     the corpus is still hashed once and equi-joined."""
     planes = hyperplanes()
     n_planes = len(planes)
-    probe_ids = [0] + [2**p for p in range(n_planes)]  # self + 1-bit flips
-    assert radius <= 1, "radius>1: extend probe_ids with multi-bit masks"
+    probe_ids = probe_masks(n_planes, radius)  # self + <=radius-bit flips
     e = _emb(spark, sf_dir).withColumn("bucket", bucket_col(F.col("embedding"), planes))
     q = (
         _query_vectors(spark, sf_dir)

@@ -287,11 +287,11 @@ def embedding_neardup_pairs(
         bucket_col,
         cosine_col,
         hyperplanes,
+        probe_masks,
     )
 
     planes = hyperplanes()
-    assert probe_radius <= 1, "radius>1: extend probe masks with multi-bit flips"
-    masks = [0] + ([2**p for p in range(len(planes))] if probe_radius else [])
+    masks = probe_masks(len(planes), probe_radius)
 
     eb = e.select("vec_id", "embedding").withColumn(
         "bucket", bucket_col(F.col("embedding"), planes)

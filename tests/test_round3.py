@@ -173,3 +173,25 @@ def test_stored_index_search_dispatch(spark, tmp_path):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert math.isclose(g[3], w[3], rel_tol=1e-9)
+
+
+def test_probe_masks_radius():
+    from goldenretriever_spark.operators.ann import probe_masks
+
+    assert probe_masks(4, 0) == [0]
+    assert sorted(probe_masks(4, 1)) == [0, 1, 2, 4, 8]
+    m2 = probe_masks(4, 2)
+    assert len(m2) == 1 + 4 + 6 and all(bin(m).count("1") <= 2 for m in m2)
+    # radius clamped to n_planes: all 2^n masks at radius >= n
+    assert sorted(probe_masks(3, 9)) == list(range(8))
+
+
+def test_multiprobe_radius2_recall_superset(spark):
+    """radius-2 probing must return candidates at least as good as radius-1
+    (per query, every radius-1 hit is also a radius-2 candidate)."""
+    from goldenretriever_spark.operators import ann
+
+    sf = "/root/testdata/sf0.001"
+    r1 = {(r["query_id"], r["vec_id"]) for r in ann.q_ann_lsh_multiprobe(spark, sf, k=20, radius=1).collect()}
+    r2 = ann.q_ann_lsh_multiprobe(spark, sf, k=20, radius=2)
+    assert r2.count() >= len(r1)
