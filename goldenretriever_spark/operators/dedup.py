@@ -305,16 +305,22 @@ def embedding_neardup_pairs(
         .drop("mask")
     )
     b = eb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
-    cand = (
+    # cosine is computed BEFORE the probe-hit dedup: a pair found via several
+    # probe buckets recomputes 64 multiplies per hit, but the dedup shuffle
+    # then carries (id_a, id_b, long) instead of two 64-dim vectors — ~100x
+    # fewer shuffle bytes at scale (max == any: the value is identical per pair)
+    cos = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-        .distinct()
-    )
-    cos = cand.select(
-        "id_a",
-        "id_b",
-        F.round(cosine_col(F.col("va"), F.col("vb")) * 10000).cast("long").alias("cosine_q"),
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")) * 10000)
+            .cast("long")
+            .alias("cosine_q"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("cosine_q").alias("cosine_q"))
     )
     return cos.filter(F.col("cosine_q") >= int(threshold * 10000))
 
