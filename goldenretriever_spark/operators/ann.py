@@ -79,12 +79,12 @@ def _query_vectors(spark: SparkSession, sf_dir: str, n_queries: int = 5) -> Data
     )
 
 
-def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5) -> DataFrame:
     """Exact cosine top-k per query vector (self-queries rank first with
     cosine=1 — kept, as the reference's Annoy index also returns the item
     itself)."""
     e = _emb(spark, sf_dir)
-    q = _query_vectors(spark, sf_dir)
+    q = _query_vectors(spark, sf_dir, n_queries)
     scored = q.crossJoin(e).select(
         "query_id",
         "vec_id",
@@ -101,7 +101,7 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
 
 
 def q_ann_lsh_multiprobe(
-    spark: SparkSession, sf_dir: str, k: int = 5, radius: int = 1
+    spark: SparkSession, sf_dir: str, k: int = 5, radius: int = 1, n_queries: int = 5
 ) -> DataFrame:
     """Multi-probe LSH top-k (the recall knob single-probe lacks): each query
     also probes every bucket within Hamming distance <= radius of its own —
@@ -115,7 +115,7 @@ def q_ann_lsh_multiprobe(
     probe_ids = probe_masks(n_planes, radius)  # self + <=radius-bit flips
     e = _emb(spark, sf_dir).withColumn("bucket", bucket_col(F.col("embedding"), planes))
     q = (
-        _query_vectors(spark, sf_dir)
+        _query_vectors(spark, sf_dir, n_queries)
         .withColumn("bucket0", bucket_col(F.col("qvec"), planes))
         .withColumn("mask", F.explode(F.array(*[F.lit(m) for m in probe_ids])))
         .withColumn("bucket", F.col("bucket0").bitwiseXOR(F.col("mask")))
@@ -135,13 +135,13 @@ def q_ann_lsh_multiprobe(
     )
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5) -> DataFrame:
     """LSH-bucketed cosine top-k: both sides bucket by hyperplane sign bits;
     candidates = same-bucket vectors only (equi-join, prunes ~15/16 of the
     corpus at 4 planes), then exact cosine re-rank inside the bucket."""
     planes = hyperplanes()
     e = _emb(spark, sf_dir).withColumn("bucket", bucket_col(F.col("embedding"), planes))
-    q = _query_vectors(spark, sf_dir).withColumn("bucket", bucket_col(F.col("qvec"), planes))
+    q = _query_vectors(spark, sf_dir, n_queries).withColumn("bucket", bucket_col(F.col("qvec"), planes))
     scored = q.join(e, "bucket").select(
         "query_id",
         "vec_id",
