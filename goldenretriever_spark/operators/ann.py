@@ -155,3 +155,39 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int 
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine_q", "rnk")
     )
+
+
+def q_ann_lsh_multitable(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_tables: int = 4, n_queries: int = 5
+) -> DataFrame:
+    """Multi-TABLE LSH top-k: L independent seeded hyperplane tables,
+    candidates = union over tables of same-bucket matches, exact cosine
+    re-rank (the classic LSH structure; recall ≈ 1-(1-p^P)^L vs multi-probe's
+    single-table fan-out). At 100 TB this is the preferred recall knob: the
+    corpus is hashed L times ONCE at ingest (a map-side column per table,
+    storable/partition-prunable), while multi-probe multiplies per-query
+    bucket reads. Here each table is a bucket equi-join on its own seeded
+    planes; probe-hit dedup aggregates the (query_id, vec_id, long) frame,
+    never the vectors."""
+    scored = None
+    for t in range(n_tables):
+        planes = hyperplanes(seed=42 + 1000 * t)
+        e = _emb(spark, sf_dir).withColumn("bucket", bucket_col(F.col("embedding"), planes))
+        q = _query_vectors(spark, sf_dir, n_queries).withColumn(
+            "bucket", bucket_col(F.col("qvec"), planes)
+        )
+        s = q.join(e, "bucket").select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_col(F.col("qvec"), F.col("embedding")) * 10000)
+            .cast("long")
+            .alias("cosine_q"),
+        )
+        scored = s if scored is None else scored.unionByName(s)
+    dedup = scored.groupBy("query_id", "vec_id").agg(F.max("cosine_q").alias("cosine_q"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+    return (
+        dedup.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_q", "rnk")
+    )

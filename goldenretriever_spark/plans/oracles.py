@@ -288,6 +288,39 @@ SELECT query_id, vec_id, cosine_q, rnk FROM (
 """
 
 
+def _plane_bits(planes: list[list[float]]) -> str:
+    """Bucket-id bit expression template ({v} = vector column)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({{v}}, {plane!r}::DOUBLE[]) > 0 THEN {2 ** p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+
+
+def _ann_multitable_sql(n_tables: int = 4) -> str:
+    """Union-over-L-tables candidates as an OR of per-table bucket equalities
+    (one row per (q, e) pair — exactly the engine's max-agg dedup)."""
+    from goldenretriever_spark.operators.ann import hyperplanes
+
+    conds = []
+    for t in range(n_tables):
+        bits = _plane_bits(hyperplanes(seed=42 + 1000 * t))
+        conds.append(f"(({bits.format(v='q.qvec')}) = ({bits.format(v='e.embedding')}))")
+    cos = (
+        "CAST(round(list_dot_product(q.qvec, e.embedding)"
+        " / (sqrt(list_dot_product(q.qvec, q.qvec))"
+        " * sqrt(list_dot_product(e.embedding, e.embedding))) * 10000) AS BIGINT)"
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 5),
+scored AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cosine_q
+  FROM q JOIN embeddings e ON {" OR ".join(conds)})
+SELECT query_id, vec_id, cosine_q, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, vec_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
 def ann_oracles() -> dict[str, str]:
     from goldenretriever_spark.operators.ann import hyperplanes
 
@@ -295,6 +328,7 @@ def ann_oracles() -> dict[str, str]:
         "ann_brute_topk": _ann_scored_sql(False),
         "ann_lsh_topk": _ann_scored_sql(True, hyperplanes()),
         "ann_lsh_multiprobe": _ann_scored_sql("multiprobe", hyperplanes()),
+        "ann_lsh_multitable": _ann_multitable_sql(4),
     }
 
 
