@@ -401,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann.q_ann_lsh_topk,
         "ann_lsh_multiprobe": ann.q_ann_lsh_multiprobe,
         "ann_lsh_multitable": ann.q_ann_lsh_multitable,
+        "ann_ivf_topk": ann.q_ann_ivf_topk,
         # --- kb data model + eval harness + functions + sinks + streaming ---
         "kb_build_flatten": _kb_build_flatten,
         "eval_metrics_rollup": _eval_metrics_rollup,

@@ -191,3 +191,65 @@ def q_ann_lsh_multitable(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine_q", "rnk")
     )
+
+
+def q_ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_queries: int = 5,
+) -> DataFrame:
+    """IVF-flat cosine top-k (the other classic ANN scale path next to LSH):
+    a small coarse-quantizer centroid set partitions the corpus into inverted
+    lists; a query probes only its n_probe nearest lists and re-ranks exactly
+    inside them — cost ≈ n_probe/n_centroids of brute force.
+
+    Centroids are the first n_centroids vectors by vec_id — a deterministic
+    stand-in for a k-means codebook (training is out of scope; the LIST
+    structure and probe math are what distributes). Assignment is a
+    broadcast cross-join + window argmax (centroids are tiny by design —
+    ~2^10..2^18 rows even at 10^9 vectors, always broadcastable); ties break
+    on ascending centroid id in both engines.
+    """
+    e = _emb(spark, sf_dir)
+    cent = (
+        e.orderBy("vec_id")
+        .limit(n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim", F.round(cosine_col(F.col("embedding"), F.col("cvec")) * 10000).cast("long")
+        )
+        .withColumn("arnk", F.row_number().over(w_assign))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = _query_vectors(spark, sf_dir, n_queries)
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "csim", F.round(cosine_col(F.col("qvec"), F.col("cvec")) * 10000).cast("long")
+        )
+        .withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= n_probe)
+        .select("query_id", "qvec", "centroid_id")
+    )
+    scored = probes.join(assign, "centroid_id").select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_col(F.col("qvec"), F.col("embedding")) * 10000)
+        .cast("long")
+        .alias("cosine_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "vec_id", "cosine_q", "rnk")
+    )

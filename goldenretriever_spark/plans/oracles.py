@@ -321,6 +321,41 @@ SELECT query_id, vec_id, cosine_q, rnk FROM (
 """
 
 
+def _cosq(a: str, b: str) -> str:
+    return (
+        f"CAST(round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))) * 10000) AS BIGINT)"
+    )
+
+
+def _ann_ivf_sql(n_centroids: int = 8, n_probe: int = 2) -> str:
+    """IVF twin: quantized-cosine argmax assignment, n_probe nearest lists,
+    exact re-rank — identical tie discipline (asc centroid_id / vec_id)."""
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 5),
+cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings ORDER BY vec_id LIMIT {n_centroids}),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cosq("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS arnk
+    FROM embeddings e CROSS JOIN cent c) WHERE arnk = 1),
+probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cosq("q.qvec", "c.cvec")} DESC, c.centroid_id ASC) AS prnk
+    FROM q CROSS JOIN cent c) WHERE prnk <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id, {_cosq("p.qvec", "a.embedding")} AS cosine_q
+  FROM probes p JOIN assign a USING (centroid_id))
+SELECT query_id, vec_id, cosine_q, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, vec_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
 def ann_oracles() -> dict[str, str]:
     from goldenretriever_spark.operators.ann import hyperplanes
 
@@ -329,6 +364,7 @@ def ann_oracles() -> dict[str, str]:
         "ann_lsh_topk": _ann_scored_sql(True, hyperplanes()),
         "ann_lsh_multiprobe": _ann_scored_sql("multiprobe", hyperplanes()),
         "ann_lsh_multitable": _ann_multitable_sql(4),
+        "ann_ivf_topk": _ann_ivf_sql(8, 2),
     }
 
 

@@ -56,6 +56,9 @@ def main() -> None:
         "lsh_multitable_L4": lambda: ann.q_ann_lsh_multitable(
             spark, sf_dir, k=k, n_tables=4, n_queries=n_queries
         ),
+        "ivf_c8_probe2": lambda: ann.q_ann_ivf_topk(
+            spark, sf_dir, k=k, n_centroids=8, n_probe=2, n_queries=n_queries
+        ),
     }
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     n_planes = ann.N_PLANES
@@ -64,6 +67,7 @@ def main() -> None:
         "lsh_multiprobe_r1": len(ann.probe_masks(n_planes, 1)) / 2**n_planes,
         "lsh_multiprobe_r2": len(ann.probe_masks(n_planes, 2)) / 2**n_planes,
         "lsh_multitable_L4": 1 - (1 - 1 / 2**n_planes) ** 4,
+        "ivf_c8_probe2": 2 / 8,
     }
     out = {"sf_dir": sf_dir, "k": k, "n_queries": n_queries, "n_embeddings": n_emb,
            "n_planes": n_planes, "variants": {}}
