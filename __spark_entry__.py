@@ -322,6 +322,31 @@ def _sink_querylog_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_stateful_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState cross-batch dedupe (SURVEY §2.9/§2.10): each
+    distinct content digest emitted once, min (repo, path, commit) wins. The
+    drain runs as ONE micro-batch here (few input files, availableNow), so
+    the winner is the global min — exactly the oracle's window expression."""
+    import shutil
+    import tempfile
+
+    from goldenretriever_spark.corpus import driver_documents
+    from goldenretriever_spark.streaming.stateful import deduped_view, streaming_dedupe
+
+    tmp = tempfile.mkdtemp(prefix="gr_statedup_")
+    try:
+        docs = driver_documents(spark, sf_dir).select(
+            "repo", "path", "commit", "lang", "content"
+        )
+        docs.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/in")
+        streaming_dedupe(spark, f"{tmp}/in", f"{tmp}/out")
+        out = "/tmp/gr_entry_stream_dedupe.parquet"
+        deduped_view(spark, f"{tmp}/out").write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stream_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming incremental index build (SURVEY §2.9): drain the
     corpus through readStream+foreachBatch appends; the streamed postings
@@ -411,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         "sink_querylog_feedback": _sink_querylog_feedback,
         "stream_incremental_postings": _stream_incremental_postings,
+        "stream_stateful_dedupe": _stream_stateful_dedupe,
     }
 
 
@@ -557,6 +583,18 @@ FROM (VALUES
   ('q3', 'query text 3', ['resp3a','resp3b'], [false,false,false,false,false]),
   ('q4', 'query text 4', ['resp4a','resp4b'], NULL::BOOLEAN[])
 ) AS t(query_id, query_text, responses, is_correct)
+""",
+        "stream_stateful_dedupe": """
+WITH src AS (
+  SELECT source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         substr(sha256(source || '|' || CAST(doc_id AS VARCHAR)), 1, 40) AS "commit",
+         lang, text AS content, sha256(text) AS digest
+  FROM documents)
+SELECT repo, path, "commit", lang, content, digest FROM (
+  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY repo, path, "commit") AS rn
+  FROM src)
+WHERE rn = 1
 """,
         "stream_incremental_postings": f"""
 WITH {_TOKS_CTE}

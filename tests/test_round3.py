@@ -195,3 +195,46 @@ def test_multiprobe_radius2_recall_superset(spark):
     r1 = {(r["query_id"], r["vec_id"]) for r in ann.q_ann_lsh_multiprobe(spark, sf, k=20, radius=1).collect()}
     r2 = ann.q_ann_lsh_multiprobe(spark, sf, k=20, radius=2)
     assert r2.count() >= len(r1)
+
+
+def test_streaming_stateful_dedupe_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedupe: each distinct content digest is emitted
+    exactly once across micro-batches AND query restarts (state survives via
+    the checkpoint); first occurrence wins deterministically."""
+    from goldenretriever_spark.streaming.stateful import (
+        deduped_view,
+        streaming_dedupe,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    b1 = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1", "py", "same content"),
+            ("r1", "b.py", "c2", "py", "same content"),
+            ("r2", "c.py", "c3", "py", "other content"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    b1.write.mode("append").parquet(in_dir)
+    streaming_dedupe(spark, in_dir, out_dir)
+    out1 = deduped_view(spark, out_dir).collect()
+    assert len(out1) == 2
+    assert {(r["content"], r["path"]) for r in out1} == {
+        ("same content", "a.py"),  # min (repo,path,commit) wins
+        ("other content", "c.py"),
+    }
+
+    b2 = spark.createDataFrame(
+        [
+            ("r9", "z.py", "c9", "py", "same content"),   # dup from batch 1
+            ("r3", "d.py", "c4", "py", "third content"),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    b2.write.mode("append").parquet(in_dir)
+    streaming_dedupe(spark, in_dir, out_dir)  # restart, same checkpoint
+    out2 = deduped_view(spark, out_dir).collect()
+    assert len(out2) == 3
+    assert sorted(r["content"] for r in out2) == [
+        "other content", "same content", "third content"
+    ]
