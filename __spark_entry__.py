@@ -322,6 +322,39 @@ def _sink_querylog_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed counts (SURVEY §2.9): one availableNow
+    drain over the events table = one data batch (no late drops) + the
+    no-data flush batch, so emitted windows are exactly those ending at or
+    before max(ts) - watermark — the oracle's closed form."""
+    import shutil
+    import tempfile
+
+    from goldenretriever_spark.streaming.windowed import (
+        streaming_windowed_counts,
+        window_counts_view,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gr_wincount_")
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/in")
+        streaming_windowed_counts(
+            spark, f"{tmp}/in", f"{tmp}/out", window="1 day", watermark="1 hour"
+        )
+        out = "/tmp/gr_entry_stream_windows.parquet"
+        window_counts_view(spark, f"{tmp}/out").select(
+            F.col("window_start").cast("long").alias("ws_epoch"),
+            F.col("window_end").cast("long").alias("we_epoch"),
+            "event_type",
+            "n_events",
+        ).write.mode("overwrite").parquet(out)
+        return spark.read.parquet(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _stream_stateful_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState cross-batch dedupe (SURVEY §2.9/§2.10): each
     distinct content digest emitted once, min (repo, path, commit) wins. The
@@ -437,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_querylog_feedback": _sink_querylog_feedback,
         "stream_incremental_postings": _stream_incremental_postings,
         "stream_stateful_dedupe": _stream_stateful_dedupe,
+        "stream_windowed_counts": _stream_windowed_counts,
     }
 
 
@@ -583,6 +617,16 @@ FROM (VALUES
   ('q3', 'query text 3', ['resp3a','resp3b'], [false,false,false,false,false]),
   ('q4', 'query text 4', ['resp4a','resp4b'], NULL::BOOLEAN[])
 ) AS t(query_id, query_text, responses, is_correct)
+""",
+        "stream_windowed_counts": """
+WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws, event_type, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT epoch(ws)::BIGINT AS ws_epoch,
+       epoch(ws + INTERVAL 1 DAY)::BIGINT AS we_epoch,
+       event_type, n_events
+FROM agg, wm WHERE ws + INTERVAL 1 DAY <= wm.w
 """,
         "stream_stateful_dedupe": """
 WITH src AS (

@@ -238,3 +238,57 @@ def test_streaming_stateful_dedupe_across_batches(spark, tmp_path):
     assert sorted(r["content"] for r in out2) == [
         "other content", "same content", "third content"
     ]
+
+
+def test_streaming_windowed_counts_watermark(spark, tmp_path):
+    """Windowed append-mode counts: a window emits once the watermark passes
+    its end; an event later than the watermark for a closed window is
+    dropped; the still-open tail window is not emitted."""
+    from datetime import datetime
+
+    from goldenretriever_spark.streaming.windowed import (
+        streaming_windowed_counts,
+        window_counts_view,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    ev = lambda i, h, m, typ="click": (  # noqa: E731
+        i, datetime(2024, 1, 1, h, m), 1, typ, 1.0, "{}"
+    )
+
+    # drain 1: three events in [0:00,1:00) + one at 3:00. The no-data flush
+    # batch advances the watermark to 2:50 within the drain, closing [0,1)
+    # (count 3); [3,4) stays open.
+    spark.createDataFrame(
+        [ev(1, 0, 5), ev(2, 0, 10), ev(3, 0, 20), ev(4, 3, 0)], schema
+    ).write.mode("append").parquet(in_dir)
+    streaming_windowed_counts(spark, in_dir, out_dir)
+    rows = {
+        (r["window_start"].hour, r["n_events"])
+        for r in window_counts_view(spark, out_dir).collect()
+    }
+    assert rows == {(0, 3)}
+
+    # drain 2: event at 6:00 -> watermark 5:50 closes [3,4) (count 1)
+    spark.createDataFrame([ev(5, 6, 0)], schema).write.mode("append").parquet(in_dir)
+    streaming_windowed_counts(spark, in_dir, out_dir)
+    rows = {
+        (r["window_start"].hour, r["n_events"])
+        for r in window_counts_view(spark, out_dir).collect()
+    }
+    assert rows == {(0, 3), (3, 1)}
+
+    # drain 3: a LATE event at 0:30 (watermark 5:50) must be DROPPED — the
+    # closed hour-0 window is not re-emitted and its count stays 3; the
+    # open [6,7) window emits nothing
+    spark.createDataFrame([ev(6, 0, 30)], schema).write.mode("append").parquet(in_dir)
+    streaming_windowed_counts(spark, in_dir, out_dir)
+    rows = {
+        (r["window_start"].hour, r["n_events"])
+        for r in window_counts_view(spark, out_dir).collect()
+    }
+    assert rows == {(0, 3), (3, 1)}
