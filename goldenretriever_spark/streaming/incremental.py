@@ -97,3 +97,32 @@ def streamed_index_views(spark: SparkSession, out_dir: str):
     return InvertedIndex(
         postings=postings, doc_stats=doc_stats, corpus_stats=corpus_stats, term_stats=term_stats
     )
+
+
+def compact_streamed_index(
+    spark: SparkSession,
+    out_dir: str,
+    idx_path: str,
+    n_term_buckets: int = 64,
+    block_size: int = 128,
+    target_docs_per_group: int = 250_000,
+):
+    """Periodic compaction: fold the appended streaming postings store into
+    the compressed, term-bucketed stored index (the serving format), closing
+    the ingest->serve loop: readStream appends postings continuously;
+    this job runs on a schedule and republishes the block index that
+    StoredIndex.search / top_k_auto answer from. The appended postings are
+    already (term, doc_id)-unique (batch dedupe above), so compaction is
+    exactly the batch pack — no merge pass."""
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.storage import StoredIndex, write_index
+
+    idx = streamed_index_views(spark, out_dir)
+    blocks = pack_blocks(
+        idx,
+        block_size=block_size,
+        target_docs_per_group=target_docs_per_group,
+        n_term_buckets=n_term_buckets,
+    )
+    write_index(idx, idx_path, blocks=blocks, n_term_buckets=n_term_buckets)
+    return StoredIndex(spark, idx_path)

@@ -292,3 +292,43 @@ def test_streaming_windowed_counts_watermark(spark, tmp_path):
         for r in window_counts_view(spark, out_dir).collect()
     }
     assert rows == {(0, 3), (3, 1)}
+
+
+def test_streamed_then_compacted_index_serves_identically(spark, tmp_path):
+    """Ingest->serve loop: stream two doc batches, compact the appended
+    postings into the block index, and StoredIndex.search must equal
+    brute-force BM25 over a clean batch build of the union."""
+    import math
+
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.query import bm25
+    from goldenretriever_spark.streaming.incremental import (
+        compact_streamed_index,
+        incremental_postings_build,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    all_docs = corpus.synth_corpus_pandas(120, seed=21)
+    spark.createDataFrame(all_docs.iloc[:70]).write.mode("append").parquet(in_dir)
+    incremental_postings_build(spark, in_dir, out_dir)
+    spark.createDataFrame(all_docs.iloc[70:]).write.mode("append").parquet(in_dir)
+    incremental_postings_build(spark, in_dir, out_dir)
+
+    stored = compact_streamed_index(
+        spark, out_dir, str(tmp_path / "idx"), n_term_buckets=8
+    )
+    qlist = [(0, "def return"), (1, "cache buffer fast"), (2, "zzzmissing")]
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in stored.search(qlist, k=5).collect()
+    )
+    idx = build_index(spark.createDataFrame(all_docs), tokenizer="simple")
+    terms = bm25.query_terms_df(spark, qlist)
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"])
+        for r in bm25.top_k(idx, terms, k=5).collect()
+    )
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[3], w[3], rel_tol=1e-9)
