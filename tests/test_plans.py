@@ -90,3 +90,26 @@ def test_no_per_row_python_udf_in_package():
             if re.search(r"\budf\s*\(", line.replace("pandas_udf", "PUDF")):
                 offenders.append(f"{p.name}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_ann_ivf_centroid_join_is_broadcast(spark):
+    """IVF assignment must broadcast the tiny centroid table (never a
+    shuffled cartesian) and the probe->list join must be a hash join."""
+    from goldenretriever_spark.operators import ann
+
+    df = ann.q_ann_ivf_topk(spark, "/root/testdata/sf0.001", k=3)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_no_cartesian(spark):
+    """LSH-bucket-blocked near-dup must join on bucket (hash join), never a
+    cartesian product, and shuffle no vector arrays after scoring (the
+    pair-dedup agg carries only ids + a long)."""
+    from goldenretriever_spark.operators.dedup import q_embedding_neardup_pairs
+
+    df = q_embedding_neardup_pairs(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
