@@ -322,6 +322,46 @@ def _sink_querylog_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY brief custom operator): each click event joined to
+    the user's latest purchase at-or-before it — union+window forward-fill,
+    one shuffle, no pair blowup (operators/temporal.as_of_join)."""
+    from goldenretriever_spark.operators.temporal import as_of_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"), "value"
+    )
+    out = as_of_join(clicks, purch, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("r_ts").alias("p_ts_epoch"),
+        F.col("r_pid").alias("p_event_id"),
+        F.round(F.col("r_value") * 10000).cast("long").alias("p_value_q"),
+    )
+
+
+def _rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join: purchases within 24h before each click, rolled up
+    per click (quantize-then-sum keeps the value integer-exact in both
+    engines)."""
+    from goldenretriever_spark.operators.temporal import range_join_binned
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid"), "value"
+    )
+    j = range_join_binned(clicks, purch, on=["user_id"], window_seconds=86_400)
+    return j.groupBy("event_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purch"),
+        F.sum(F.round(F.col("r_value") * 10000).cast("long")).alias("sum_value_q"),
+    )
+
+
 def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time windowed counts (SURVEY §2.9): one availableNow
     drain over the events table = one data batch (no late drops) + the
@@ -441,6 +481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_filter_project_fill": relational.q_filter_project_fill,
         "rel_grouping_sets_region": relational.q_grouping_sets_region,
         "rel_train_test_split": split.q_train_test_split,
+        "rel_asof_join": _rel_asof_join,
+        "rel_range_join": _rel_range_join,
         # --- text analysis (training-data ops) ---
         "txt_token_count": textstats.q_token_count,
         "txt_quality_score": textstats.q_quality_score,
@@ -617,6 +659,26 @@ FROM (VALUES
   ('q3', 'query text 3', ['resp3a','resp3b'], [false,false,false,false,false]),
   ('q4', 'query text 4', ['resp4a','resp4b'], NULL::BOOLEAN[])
 ) AS t(query_id, query_text, responses, is_correct)
+""",
+        "rel_asof_join": """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, event_id AS pid, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, floor(epoch(c.ts))::BIGINT AS ts_epoch,
+       floor(epoch(p.ts))::BIGINT AS p_ts_epoch, p.pid AS p_event_id,
+       CAST(round(p.value * 10000) AS BIGINT) AS p_value_q
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT * FROM purch p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+  ORDER BY p.ts DESC, p.pid DESC LIMIT 1) p ON TRUE
+""",
+        "rel_range_join": """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, event_id AS pid, value FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, count(*)::BIGINT AS n_purch,
+       sum(CAST(round(p.value * 10000) AS BIGINT))::BIGINT AS sum_value_q
+FROM clicks c JOIN purch p
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ AND floor(epoch(p.ts))::BIGINT >= floor(epoch(c.ts))::BIGINT - 86400
+GROUP BY 1, 2
 """,
         "stream_windowed_counts": """
 WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events),

@@ -332,3 +332,66 @@ def test_streamed_then_compacted_index_serves_identically(spark, tmp_path):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert math.isclose(g[3], w[3], rel_tol=1e-9)
+
+
+def test_as_of_join_semantics(spark):
+    """Point-in-time: latest right row with ts <= left ts per key; equal ts
+    is inclusive (right wins); no prior right row -> nulls; equal-ts right
+    rows resolve to max id."""
+    from datetime import datetime
+
+    from goldenretriever_spark.operators.temporal import as_of_join
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "u1", t(10)), (2, "u1", t(30)), (3, "u2", t(5)), (4, "u1", t(20))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u1", t(10), 100, 1.0), ("u1", t(25), 101, 2.0),
+         ("u1", t(25), 102, 3.0), ("u2", t(50), 103, 4.0)],
+        "user_id string, ts timestamp, rid long, val double",
+    )
+    out = {
+        r["event_id"]: (r["r_rid"], r["r_val"])
+        for r in as_of_join(left, right, on=["user_id"]).collect()
+    }
+    assert out[1] == (100, 1.0)       # equal ts -> inclusive
+    assert out[4] == (100, 1.0)       # between right rows
+    assert out[2] == (102, 3.0)       # equal-ts rights -> max rid wins
+    assert out[3] == (None, None)     # u2 has no prior right row
+
+
+def test_range_join_binned_equals_theta(spark):
+    """Binned range join must equal the naive theta join exactly (window
+    boundaries inclusive both ends), at bin widths above and below the
+    window."""
+    from datetime import datetime, timedelta
+
+    from goldenretriever_spark.operators.temporal import range_join_binned
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, f"u{i % 3}", base + timedelta(minutes=17 * i)) for i in range(40)],
+        "lid long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"u{i % 3}", base + timedelta(minutes=11 * i)) for i in range(40)],
+        "rid long, user_id string, ts timestamp",
+    )
+    W = 3600
+    naive = left.alias("l").join(
+        right.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts").cast("long") >= F.col("l.ts").cast("long") - W),
+    ).select(F.col("l.lid"), F.col("r.rid"))
+    want = sorted(map(tuple, naive.collect()))
+    for bin_s in (W, W // 3):
+        got = sorted(
+            (r["lid"], r["r_rid"])
+            for r in range_join_binned(
+                left, right, on=["user_id"], window_seconds=W, bin_seconds=bin_s
+            ).collect()
+        )
+        assert got == want, f"bin={bin_s}"
