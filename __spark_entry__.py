@@ -322,6 +322,42 @@ def _sink_querylog_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (SURVEY §2.4 agg family):
+    Spark's exact percentile() == DuckDB quantile_cont (same linear
+    interpolation over the sorted set); quantized for the hash compare.
+    At 100 TB you'd reach for approx_percentile (t-digest sketch, one pass,
+    mergeable) — kept exact here because the contract hash needs
+    deterministic equality; the call-site swap is one function name."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = lambda p, name: F.round(  # noqa: E731
+        F.expr(f"percentile(l_extendedprice, {p})") * 100
+    ).cast("long").alias(name)
+    return li.groupBy("l_returnflag").agg(
+        q(0.5, "p50_q"), q(0.95, "p95_q"), q(0.99, "p99_q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+def _rel_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via session_window (SURVEY §2.5 window
+    family): click events chain into a session while consecutive gaps are
+    <= 30 min (merge at exactly the gap — pinned by probe; the oracle's
+    islands rule is strictly-greater for a new session)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return (
+        clicks.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("sess_start_epoch"),
+            F.unix_timestamp(F.col("session_window.end")).alias("sess_end_epoch"),
+            "n_events",
+        )
+    )
+
+
 def _rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY brief custom operator): each click event joined to
     the user's latest purchase at-or-before it — union+window forward-fill,
@@ -482,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets_region": relational.q_grouping_sets_region,
         "rel_train_test_split": split.q_train_test_split,
         "rel_asof_join": _rel_asof_join,
+        "rel_session_windows": _rel_session_windows,
+        "rel_percentiles": _rel_percentiles,
         "rel_range_join": _rel_range_join,
         # --- text analysis (training-data ops) ---
         "txt_token_count": textstats.q_token_count,
@@ -659,6 +697,32 @@ FROM (VALUES
   ('q3', 'query text 3', ['resp3a','resp3b'], [false,false,false,false,false]),
   ('q4', 'query text 4', ['resp4a','resp4b'], NULL::BOOLEAN[])
 ) AS t(query_id, query_text, responses, is_correct)
+""",
+        "rel_percentiles": """
+SELECT l_returnflag,
+       CAST(round(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_q,
+       CAST(round(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS p95_q,
+       CAST(round(quantile_cont(l_extendedprice, 0.99) * 100) AS BIGINT) AS p99_q,
+       count(*)::BIGINT AS cnt
+FROM lineitem GROUP BY l_returnflag
+""",
+        "rel_session_windows": """
+WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+flags AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM clicks WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags)
+SELECT user_id,
+       floor(epoch(min(ts)))::BIGINT AS sess_start_epoch,
+       floor(epoch(max(ts) + INTERVAL 30 MINUTE))::BIGINT AS sess_end_epoch,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
 """,
         "rel_asof_join": """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
