@@ -123,3 +123,26 @@ class StoredIndex:
             tokenizer=tokenizer,
             n_term_buckets=self.n_term_buckets,
         )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a BUCKETED table (hash-bucketed by bucket_cols into
+    n_buckets files per partition, optionally sorted within buckets).
+
+    Two tables bucketed the same way join WITHOUT any Exchange — the join
+    key co-location is baked into the layout at write time, so the repeated
+    postings<->term_stats / postings<->postings joins of a 100 TB warehouse
+    pay the shuffle once (here) instead of per query
+    (tests/test_round3.py asserts the exchange-free plan). Bucketing rides
+    the table catalog (saveAsTable), not plain parquet paths."""
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -111,3 +111,52 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is oracle-checkable: width/height/frames are pure doc_id arithmetic
     and payload_bytes = 8 + octet_length(text))."""
     return decode_media(synth_media(spark, sf_dir))
+
+
+FEATURES_SCHEMA = "doc_id long, kind string, features array<double>"
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction over the opaque payload: normalized byte histogram
+    of the body (past the 8-byte header) as a dense vector — a REAL,
+    deterministic computation (no codec needed), vectorized with numpy over
+    Arrow batches. On a real corpus the histogram swaps for a CNN/CLIP-style
+    embedding; the batch shape, schema and downstream use (the vector feeds
+    the ANN/near-dup operators unchanged) are identical."""
+
+    def feats(batches):
+        for pdf in batches:
+            rows = []
+            for payload in pdf["payload"]:
+                body = np.frombuffer(bytes(payload), dtype=np.uint8)[8:]
+                if body.size:
+                    hist = np.bincount(body >> int(8 - np.log2(n_bins)), minlength=n_bins)
+                    vec = (hist / body.size).astype(np.float64)
+                else:
+                    vec = np.zeros(n_bins, dtype=np.float64)
+                rows.append(vec.tolist())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "features": rows}
+            )
+
+    return media.mapInPandas(feats, schema=FEATURES_SCHEMA)
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize as payload transformation: rewrites the header dims (a real
+    transformation of the fake container format; the body resample is where
+    PIL/ffmpeg plugs in — same mapInPandas seam, same batch bounds). Output
+    schema == input schema, so resize composes with decode/feature-extract."""
+
+    def resize(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                out.append(struct.pack(HEADER_FMT, MAGIC, width, height,
+                                       struct.unpack(HEADER_FMT, b[:8])[3]) + b[8:])
+            pdf = pdf.copy()
+            pdf["payload"] = out
+            yield pdf
+
+    return media.mapInPandas(resize, schema=media.schema)

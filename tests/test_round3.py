@@ -395,3 +395,64 @@ def test_range_join_binned_equals_theta(spark):
             ).collect()
         )
         assert got == want, f"bin={bin_s}"
+
+
+def test_multimodal_features_and_resize(spark):
+    """Byte-histogram features are a real deterministic computation (sum to
+    1, stable); resize rewrites header dims and composes with decode while
+    leaving the body intact (payload_bytes unchanged)."""
+    from goldenretriever_spark.operators.multimodal import (
+        decode_media,
+        extract_features,
+        resize_media,
+        synth_media,
+    )
+
+    media = synth_media(spark, "/root/testdata/sf0.001").limit(20).cache()
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+    before = {r["doc_id"]: r for r in decode_media(media).collect()}
+    after = {r["doc_id"]: r for r in decode_media(resize_media(media, 64, 48)).collect()}
+    for d, r in after.items():
+        assert (r["width"], r["height"]) == (64, 48)
+        assert r["n_frames"] == before[d]["n_frames"]
+        assert r["payload_bytes"] == before[d]["payload_bytes"]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Same-bucketing postings + term_stats must join with ZERO Exchange
+    nodes (co-located layout); the plain-parquet join of the same frames
+    shuffles both sides."""
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.index.storage import write_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/wh'")
+    try:
+        docs = spark.createDataFrame(corpus.synth_corpus_pandas(150, seed=9))
+        idx = build_index(docs, persist=False)
+        write_bucketed(idx.postings, "bktdb.postings", ["term"], n_buckets=4,
+                       sort_cols=["term"])
+        write_bucketed(idx.term_stats, "bktdb.term_stats", ["term"], n_buckets=4,
+                       sort_cols=["term"])
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bktdb.postings").join(
+                spark.table("bktdb.term_stats"), "term"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            # sanity: same join un-bucketed DOES exchange
+            j2 = idx.postings.join(idx.term_stats, "term")
+            plan2 = j2._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" in plan2
+            assert j.count() == j2.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
