@@ -26,7 +26,10 @@ def get_spark(
     """
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = f"local[{cores}]"
+    # SPARK_GRAFT_MASTER overrides (e.g. local-cluster[4,1,4096] — separate
+    # executor JVMs, each with its own GC and allocator arenas: the honest
+    # sandbox proxy for N distinct executors)
+    master = os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cores}]"
     if shuffle_partitions is None:
         shuffle_partitions = 32 if cores == "*" else max(int(cores), 4)
 
@@ -65,6 +68,25 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
     )
+    if master.startswith("local-cluster"):
+        # third bracket param is WORKER memory (MB); executor memory must fit
+        # under it. Each executor pins GC threads to its own core count.
+        inner = master[master.index("[") + 1 : master.index("]")].split(",")
+        exec_cores = int(inner[1])
+        builder = (
+            builder.config(
+                "spark.executor.memory",
+                os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "3g"),
+            )
+            .config(
+                "spark.executor.extraJavaOptions",
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(exec_cores, 1)}",
+            )
+            # all cores pegged during the build -> heartbeats lag; raise the
+            # tolerances or executors die with exit 143
+            .config("spark.network.timeout", "600s")
+            .config("spark.executor.heartbeatInterval", "60s")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -39,10 +39,20 @@ def main() -> None:
     parts = int(os.environ.get(
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", max(2 * max(cpus, 8), n_docs // 50_000)
     ))
+    # SPARK_GRAFT_CLUSTER=1: run as local-cluster[cpus,1,mem] — `cpus`
+    # single-core executor JVMs instead of one JVM with cpus threads. This is
+    # the faithful N->4N *executor* proxy (separate GC, separate arenas,
+    # worker-process Python UDFs shipped via --py-files/addPyFile).
+    if os.environ.get("SPARK_GRAFT_CLUSTER") == "1":
+        os.environ["SPARK_GRAFT_MASTER"] = f"local-cluster[{cpus},1,4096]"
     spark = get_spark(
         "gr-build-job", cores=cpus, shuffle_partitions=parts,
         extra_conf={"spark.io.compression.codec": os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4")},
     )
+    if os.environ.get("SPARK_GRAFT_CLUSTER") == "1":
+        from goldenretriever_spark.deploy import attach_package
+
+        attach_package(spark)
     cache = f"/tmp/gr_bench_corpus_{n_docs}.parquet"
     if not os.path.exists(cache):
         corpus.synth_corpus(spark, n_docs, seed=42, partitions=256).write.mode(
@@ -73,6 +83,7 @@ def main() -> None:
                 "files_per_sec": round(n_docs / dt, 1),
                 "n_blocks": n_blocks,
                 "tokenizer": tokenizer,
+                "master": spark.sparkContext.master,
             }
         )
     )
