@@ -13,8 +13,9 @@ ops (option (a) of the brief's custom-operator ladder), no UDFs.
   the discipline the DuckDB twin mirrors exactly.
 
 - ``range_join_binned``: inner join on key + right_ts ∈ [left_ts - window,
-  left_ts]. Spark executes a raw inequality join as BroadcastNestedLoop
-  (O(|L|·|R|)); binning makes it an EQUI-join: each left row probes the
+  left_ts]. Spark nested-loops a keyless range join outright, and even with
+  an equi-key it sort-merge-joins every same-key pair through a residual
+  time filter — O(per-key |L|·|R|) pairs materialized. Binning bounds it: each left row probes the
   ceil(window/bin)+1 fixed-width time bins its interval overlaps (explode on
   the probe side only), the right side is hashed once into its bin, and the
   exact predicate filters the equi-matched candidates. Cost:

@@ -113,3 +113,31 @@ def test_embedding_neardup_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """The binned range join must plan as an EQUI join (hash/sort-merge on
+    key+bin) — never the BroadcastNestedLoopJoin Spark gives a raw
+    inequality join."""
+    from datetime import datetime, timedelta
+
+    from goldenretriever_spark.operators.temporal import range_join_binned
+
+    base = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(i, f"u{i % 3}", base + timedelta(minutes=i)) for i in range(30)],
+        "lid long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100 + i, f"u{i % 3}", base + timedelta(minutes=i)) for i in range(30)],
+        "rid long, user_id string, ts timestamp",
+    )
+    binned = range_join_binned(left, right, on=["user_id"], window_seconds=3600)
+    plan = _plan(binned)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    # contrast: a KEYLESS range join (pure inequality) nested-loops — the
+    # binning turns exactly this shape into an equi-join; with a key Spark
+    # sort-merge-joins but still materializes every same-key pair through
+    # the residual filter, which the bins bound instead
+    theta = left.alias("l").join(right.alias("r"), F.col("r.ts") <= F.col("l.ts"))
+    assert "BroadcastNestedLoopJoin" in _plan(theta) or "CartesianProduct" in _plan(theta)
