@@ -456,3 +456,39 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_as_of_join_randomized_vs_pandas(spark):
+    """Randomized cross-check: union+window as-of join equals a per-row
+    pandas argmax reference on seeded random data (3 seeds)."""
+    import numpy as np
+    import pandas as pd
+
+    from goldenretriever_spark.operators.temporal import as_of_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        left = pd.DataFrame({
+            "lid": np.arange(60),
+            "k": rng.integers(0, 5, 60),
+            "ts": rng.integers(0, 1000, 60).astype("datetime64[s]"),
+        })
+        right = pd.DataFrame({
+            "rid": np.arange(100, 140),
+            "k": rng.integers(0, 5, 40),
+            "ts": rng.integers(0, 1000, 40).astype("datetime64[s]"),
+        })
+        got = {
+            r["lid"]: r["r_rid"]
+            for r in as_of_join(
+                spark.createDataFrame(left), spark.createDataFrame(right), on=["k"]
+            ).collect()
+        }
+        for _, lrow in left.iterrows():
+            cand = right[(right["k"] == lrow["k"]) & (right["ts"] <= lrow["ts"])]
+            want = (
+                None
+                if cand.empty
+                else int(cand.sort_values(["ts", "rid"]).iloc[-1]["rid"])
+            )
+            assert got[lrow["lid"]] == want, f"seed={seed} lid={lrow['lid']}"
