@@ -339,6 +339,22 @@ def _rel_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.4 agg surface): event counts per user bucketed wide
+    by event_type. Spark pivot() with an EXPLICIT value list — at scale the
+    implicit variant adds a distinct-values job and an unbounded column
+    blowup; pinning the list keeps the plan one pass."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(10)))
+        .groupBy("bucket")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
 def _rel_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via session_window (SURVEY §2.5 window
     family): click events chain into a session while consecutive gaps are
@@ -520,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": _rel_asof_join,
         "rel_session_windows": _rel_session_windows,
         "rel_percentiles": _rel_percentiles,
+        "rel_pivot": _rel_pivot,
         "rel_range_join": _rel_range_join,
         # --- text analysis (training-data ops) ---
         "txt_token_count": textstats.q_token_count,
@@ -705,6 +722,15 @@ SELECT l_returnflag,
        CAST(round(quantile_cont(l_extendedprice, 0.99) * 100) AS BIGINT) AS p99_q,
        count(*)::BIGINT AS cnt
 FROM lineitem GROUP BY l_returnflag
+""",
+        "rel_pivot": """
+SELECT user_id % 10 AS bucket,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error
+FROM events GROUP BY 1
 """,
         "rel_session_windows": """
 WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
