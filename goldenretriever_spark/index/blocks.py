@@ -34,7 +34,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from goldenretriever_spark.index.build import B, K1, InvertedIndex
-from goldenretriever_spark.index.codec import delta_encode_sorted_ids, encode_tfs
+from goldenretriever_spark.index.codec import (
+    delta_encode_grouped,
+    varint_encode_grouped,
+)
 
 BLOCK_SIZE = 128
 SALT_SPACE = 65536  # top 16 bits of signed doc_id -> contiguous range ids
@@ -129,35 +132,46 @@ def pack_enriched(
         change = np.empty(n_rows, dtype=bool)
         change[0] = True
         change[1:] = (terms[1:] != terms[:-1]) | (salts[1:] != salts[:-1])
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], n_rows)
+        grp_starts = np.flatnonzero(change)
 
-        out = {k: [] for k in (
-            "term", "salt", "block_id", "n", "df", "doc_id_min", "doc_id_max",
-            "block_max_tf_norm", "doc_ids_delta_varint", "tfs_varint",
-            "dls_varint", "term_bucket",
-        )}
-        for g0, g1 in zip(starts, ends):
-            term = terms[g0]
-            salt = int(salts[g0])
-            for local, s in enumerate(range(g0, g1, block_size)):
-                e = min(s + block_size, g1)
-                out["term"].append(term)
-                out["salt"].append(salt)
+        # Fully vectorized block split (no per-block Python loop — a 10^6-
+        # block partition paid ~100µs of numpy call overhead per block, 3
+        # varint calls each, before this): a block starts at every group
+        # start and every block_size-th row within its group.
+        grp_sizes = np.diff(np.append(grp_starts, n_rows))
+        grp_start_per_row = np.repeat(grp_starts, grp_sizes)
+        off = np.arange(n_rows, dtype=np.int64) - grp_start_per_row
+        blk_starts = np.flatnonzero(off % block_size == 0)
+        blk_ends = np.append(blk_starts[1:], n_rows)
+        local = off[blk_starts] // block_size
+        salts_b = salts[blk_starts].astype(np.int64)
+
+        yield pd.DataFrame(
+            {
+                "term": terms[blk_starts],
+                "salt": salts_b,
                 # globally ordered within term: salt-major, then local
-                out["block_id"].append((salt << 32) | local)
-                out["n"].append(e - s)
-                out["df"].append(int(dfs_all[g0]))
-                out["doc_id_min"].append(int(ids_all[s]))
-                out["doc_id_max"].append(int(ids_all[e - 1]))
-                out["block_max_tf_norm"].append(float(tf_norm_all[s:e].max()))
-                out["doc_ids_delta_varint"].append(delta_encode_sorted_ids(ids_all[s:e]))
-                out["tfs_varint"].append(encode_tfs(tfs_all[s:e]))
+                "block_id": (salts_b << 32) | local,
+                "n": blk_ends - blk_starts,
+                "df": dfs_all[blk_starts],
+                "doc_id_min": ids_all[blk_starts],
+                "doc_id_max": ids_all[blk_ends - 1],
+                # segmented max over each block's tf_norm run
+                "block_max_tf_norm": np.maximum.reduceat(tf_norm_all, blk_starts),
+                "doc_ids_delta_varint": varint_encode_grouped(
+                    delta_encode_grouped(ids_all, blk_starts), blk_starts, blk_ends
+                ),
+                "tfs_varint": varint_encode_grouped(
+                    tfs_all.astype(np.uint64), blk_starts, blk_ends
+                ),
                 # per-posting doc_len (varint, ~1-2B) makes blocks fully
                 # self-contained for BM25 — no doc_stats join at query time
-                out["dls_varint"].append(encode_tfs(dls_all[s:e]))
-                out["term_bucket"].append(int(tb_all[g0]))
-        yield pd.DataFrame(out)
+                "dls_varint": varint_encode_grouped(
+                    dls_all.astype(np.uint64), blk_starts, blk_ends
+                ),
+                "term_bucket": tb_all[blk_starts],
+            }
+        )
 
     return (
         enriched.select("term", "salt", "doc_id", "tf", "doc_len", "df", "term_bucket")

@@ -88,3 +88,52 @@ def encode_tfs(tfs: np.ndarray) -> bytes:
 
 def decode_tfs(buf: bytes) -> np.ndarray:
     return varint_decode(buf).astype(np.int64)
+
+
+def varint_encode_grouped(
+    values: np.ndarray, run_starts: np.ndarray, run_ends: np.ndarray
+) -> list[bytes]:
+    """LEB128-encode MANY value runs in one vectorized pass.
+
+    Bit-identical to ``b"".join == varint_encode(values[s:e])`` per run, but
+    the threshold/scatter passes execute once over the whole array instead of
+    once per run — the per-call numpy overhead (~tens of µs) dominates for
+    128-value blocks, and a 10^6-block partition pays it 3x per block without
+    this. Returns one bytes object per (run_starts[i], run_ends[i]) slice.
+    """
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b"" for _ in range(len(run_starts))]
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (v >= t).astype(np.int64)
+    byte_off = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=byte_off[1:])
+    out = np.zeros(int(byte_off[-1]), dtype=np.uint8)
+    offsets = byte_off[:-1]
+    for j in range(10):
+        mask = nbytes > j
+        if not mask.any():
+            break
+        chunk = (v[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > j + 1).astype(np.uint8) << 7
+        out[offsets[mask] + j] = chunk.astype(np.uint8) | cont
+    buf = out.tobytes()
+    return [
+        buf[byte_off[s] : byte_off[e]] for s, e in zip(run_starts, run_ends)
+    ]
+
+
+def delta_encode_grouped(doc_ids: np.ndarray, run_starts: np.ndarray) -> np.ndarray:
+    """Per-run delta transform in one pass: each run's first value keeps its
+    raw 64-bit pattern, later values become wrapping uint64 diffs — exactly
+    ``delta_encode_sorted_ids``'s pre-varint transform applied run-wise."""
+    ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    deltas = np.empty(ids.size, dtype=np.uint64)
+    if ids.size == 0:
+        return deltas
+    deltas[0] = ids[0:1].view(np.uint64)[0]
+    if ids.size > 1:
+        deltas[1:] = np.diff(ids).view(np.uint64)
+    deltas[run_starts] = ids[run_starts].view(np.uint64)
+    return deltas

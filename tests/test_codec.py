@@ -51,3 +51,28 @@ def test_compression_is_compact():
     ids = np.arange(0, 100_000, 3, dtype=np.int64)
     buf = codec.delta_encode_sorted_ids(ids)
     assert len(buf) < ids.size * 2
+
+
+def test_grouped_encode_bit_identical_to_per_block():
+    """varint_encode_grouped + delta_encode_grouped must reproduce the
+    per-block encoders byte for byte on random sorted runs."""
+    import numpy as np
+
+    from goldenretriever_spark.index.codec import (
+        delta_encode_grouped,
+        delta_encode_sorted_ids,
+        encode_tfs,
+        varint_encode_grouped,
+    )
+
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.integers(-(2**62), 2**62, 1000, dtype=np.int64))
+    tfs = rng.integers(1, 5000, 1000, dtype=np.int64)
+    starts = np.array([0, 3, 130, 131, 500, 999], dtype=np.int64)
+    ends = np.append(starts[1:], 1000)
+    # per-run ids must be sorted (they are: slices of a sorted array)
+    got_ids = varint_encode_grouped(delta_encode_grouped(ids, starts), starts, ends)
+    got_tfs = varint_encode_grouped(tfs.astype(np.uint64), starts, ends)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        assert got_ids[i] == delta_encode_sorted_ids(ids[s:e]), i
+        assert got_tfs[i] == encode_tfs(tfs[s:e]), i
