@@ -76,3 +76,36 @@ def test_grouped_encode_bit_identical_to_per_block():
     for i, (s, e) in enumerate(zip(starts, ends)):
         assert got_ids[i] == delta_encode_sorted_ids(ids[s:e]), i
         assert got_tfs[i] == encode_tfs(tfs[s:e]), i
+
+
+def test_grouped_decode_matches_per_block():
+    """varint_decode_many + delta_decode_grouped must reproduce the per-block
+    decoders exactly, including empty buffers in any position."""
+    import numpy as np
+
+    from goldenretriever_spark.index.codec import (
+        delta_decode_grouped,
+        delta_decode_sorted_ids,
+        delta_encode_sorted_ids,
+        varint_decode,
+        varint_decode_many,
+        varint_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    runs = [
+        np.sort(rng.integers(-(2**62), 2**62, n, dtype=np.int64))
+        for n in (1, 128, 7, 0, 300, 1)
+    ]
+    bufs = [delta_encode_sorted_ids(r) for r in runs]
+    deltas, counts = varint_decode_many(bufs)
+    assert counts.tolist() == [len(r) for r in runs]
+    ids = delta_decode_grouped(deltas, counts)
+    expect = np.concatenate([delta_decode_sorted_ids(b) for b in bufs])
+    assert (ids == expect).all()
+
+    tf_runs = [rng.integers(1, 10**9, n).astype(np.uint64) for n in (0, 5, 128, 2)]
+    tf_bufs = [varint_encode(r) for r in tf_runs]
+    vals, cnts = varint_decode_many(tf_bufs)
+    assert cnts.tolist() == [len(r) for r in tf_runs]
+    assert (vals == np.concatenate([varint_decode(b) for b in tf_bufs])).all()
