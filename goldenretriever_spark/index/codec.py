@@ -169,6 +169,10 @@ def delta_decode_grouped(deltas: np.ndarray, counts: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         acc = np.cumsum(deltas, dtype=np.uint64)
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        cum0 = np.concatenate([[np.uint64(0)], acc[:-1]])
+        # prepend 0 AND keep acc[-1] so cum0 has size+1 entries: zero-count
+        # runs (empty varint buffers, possibly trailing) yield starts up to
+        # deltas.size, which would index out of bounds otherwise — they
+        # repeat 0 times so any in-range base value is fine
+        cum0 = np.concatenate([[np.uint64(0)], acc])
         base = np.repeat(cum0[starts], counts)
         return (acc - base).view(np.int64)

@@ -54,19 +54,26 @@ def as_of_join(
         right_cols = [c for c in right.columns if c not in on and c != right_ts]
     carried = [right_ts] + right_cols
 
+    # The carried columns travel as ONE struct so the latest right row is
+    # forward-filled ATOMICALLY. Filling each column independently with
+    # last(ignorenulls) would assemble a row that never existed whenever a
+    # right column is null (r1=(a=1,b=null), r2=(a=null,b=2) -> (1,2) instead
+    # of r2's (null,2)); true as-of semantics carry the whole latest row,
+    # nulls included (pandas.merge_asof equivalence: tests/test_round4.py).
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"{suffix}{c}") for c in carried],
+        F.struct(
+            *[F.col(c).alias(f"{suffix}{c}") for c in carried]
+        ).alias("__carry"),
     )
     l_cols = [c for c in left.columns]
     lft = left.select(
         *l_cols,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(r.schema[f"{suffix}{c}"].dataType).alias(f"{suffix}{c}")
-          for c in carried],
+        F.lit(None).cast(r.schema["__carry"].dataType).alias("__carry"),
     )
     # align schemas: right side lacks the left-only columns
     for c in l_cols:
@@ -75,22 +82,26 @@ def as_of_join(
     tagged = r.select(lft.columns).unionByName(lft)
 
     # deterministic fill order: right rows precede left at equal ts
-    # (inclusive as-of); equal-ts right rows resolve to the LAST in
-    # (suffix+right_ts, ...carried) ascending order — i.e. max carried tuple
-    order = [F.col("__ts").asc(), F.col("__side").asc()] + [
-        F.col(f"{suffix}{c}").asc_nulls_first() for c in carried
-    ]
+    # (inclusive as-of); equal-ts right rows resolve to the LAST in struct
+    # ascending order — lexicographic on (suffix+right_ts, ...carried), i.e.
+    # max carried tuple, same discipline the DuckDB twin mirrors
+    order = [F.col("__ts").asc(), F.col("__side").asc(),
+             F.col("__carry").asc_nulls_first()]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = tagged
-    for c in carried:
-        filled = filled.withColumn(
-            f"{suffix}{c}", F.last(f"{suffix}{c}", ignorenulls=True).over(w)
+    filled = tagged.withColumn(
+        "__carry", F.last("__carry", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            *l_cols,
+            *[F.col(f"__carry.{suffix}{c}").alias(f"{suffix}{c}") for c in carried],
         )
-    return filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    )
 
 
 def _epoch_seconds(df: DataFrame, colname: str):
