@@ -34,7 +34,6 @@ def main() -> None:
     from goldenretriever_spark.index.build import build_index
     from goldenretriever_spark.query import bm25
     from goldenretriever_spark.query.wand import (
-        WAND_CROSSOVER_N_DOCS,
         brute_top_k_stored,
         top_k_auto,
         wand_top_k,
@@ -76,17 +75,21 @@ def main() -> None:
     timings["bm25_brute_batch50"] = time.time() - t0
 
     # -- q3: stored-index top-k with measured brute/WAND dispatch ------------
-    # top_k_auto picks the unpruned decode below the measured crossover
-    # (~2M docs) and block-max WAND above it; both raw paths are timed below
-    # as diagnostics so the dispatch decision stays auditable.
+    # top_k_auto dispatches on estimated decode volume (batch-mean Σdf per
+    # query vs the measured crossover); both raw paths are timed below as
+    # diagnostics. The recorded auto_path/dispatch is the decision the
+    # dispatcher ACTUALLY took (return_plan), not a re-derivation.
     t0 = time.time()
-    auto = top_k_auto(spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None)
+    auto, dispatch = top_k_auto(
+        spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None,
+        return_plan=True,
+    )
     auto.count()
     timings["bm25_stored_auto_batch50"] = time.time() - t0
 
     diagnostics: dict[str, object] = {
-        "auto_path": "wand" if BENCH_DOCS >= WAND_CROSSOVER_N_DOCS else "brute_stored",
-        "wand_crossover_n_docs": WAND_CROSSOVER_N_DOCS,
+        "auto_path": dispatch["path"],
+        "dispatch": dispatch,
     }
     t0 = time.time()
     wand_top_k(spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None).count()

@@ -128,13 +128,34 @@ def brute_top_k_stored(
     )
 
 
-# Measured brute-stored vs WAND crossover on the bench host
-# (tools/wand_crossover.py; BENCH/BASELINE.md "Block-max WAND vs unpruned
-# decode"): at 1.92M docs pruning is still a wash (0.97x), at 3.84M it wins
-# 3.03x and the gap widens with corpus size. Below the crossover the
-# θ-seeding pass, bound joins and survivor blob join-back cost more than
-# the skipped decodes save.
-WAND_CROSSOVER_N_DOCS = 2_000_000
+# Measured brute-stored vs WAND crossover on the bench host, in estimated
+# DECODE ROWS PER QUERY (Σ df over the query's terms) — the signal that
+# actually tracks pruning payoff, not corpus size alone. Calibrated against
+# BENCH/WAND_SWEEP.json + the per-query Σdf of each sweep batch:
+#   ~3.4M rows/query  -> WAND 0.87-0.97x (1-term @3.84M docs, ref batch
+#                        @1.92M docs — both lose or wash)
+#   ~6.9M rows/query  -> WAND 1.6-1.7x  (5-term @3.84M docs)
+# Below the crossover the θ-seeding pass, bound joins and survivor blob
+# join-back cost more than the skipped decodes save. k shifts the edge only
+# mildly (k=100: 0.95x vs 1.7x — same side of this threshold).
+WAND_CROSSOVER_DECODE_ROWS = 4_500_000
+
+
+def estimate_decode_rows(posting_blocks: DataFrame, qterms: DataFrame) -> DataFrame:
+    """Per-query estimated decode volume: Σ df over the query's distinct
+    terms == exactly the postings an unpruned stored-index scan decodes.
+    Metadata-only: reads (term, df) from the (bucket-pruned) blocks scan —
+    parquet column pruning keeps the blob columns untouched."""
+    tdf = (
+        posting_blocks.select("term", "df")
+        .groupBy("term")
+        .agg(F.first("df").alias("df"))
+    )
+    return (
+        qterms.join(tdf, "term")
+        .groupBy("query_id")
+        .agg(F.sum("df").alias("est_rows"))
+    )
 
 
 def top_k_auto(
@@ -146,32 +167,88 @@ def top_k_auto(
     tokenizer: str = "simple",
     seed_factor: int = 4,
     n_term_buckets: int | None = None,
-    crossover: int | None = None,
+    crossover_rows: int | None = None,
+    return_plan: bool = False,
 ) -> DataFrame:
     """Top-k over the stored index, auto-dispatching brute-stored vs WAND.
 
     Both paths answer from the same compressed blocks and are rank-identical
     (tests/test_wand.py); the ONLY difference is whether the θ-pruning
-    machinery pays for itself, which is a function of corpus size. n_docs
-    comes from corpus_stats (1 row, already materialized by the index build);
-    the threshold is the measured ``WAND_CROSSOVER_N_DOCS``, overridable per
-    call or via $SPARK_GRAFT_WAND_CROSSOVER.
+    machinery pays for itself. The dispatch signal is the batch-mean
+    ESTIMATED DECODE VOLUME per query (Σ df over each query's terms, from
+    the blocks metadata) against the measured ``WAND_CROSSOVER_DECODE_ROWS``
+    — so a single-term query batch over a huge corpus correctly runs brute
+    while a long-query batch over the same corpus runs WAND. Overridable per
+    call or via $SPARK_GRAFT_WAND_CROSSOVER_ROWS.
+
+    Cost control: the df probe is skipped when the driver-side upper bound
+    (max terms/query × n_docs) already rules WAND out — small corpora pay
+    zero probe jobs. One batch = one path: splitting a mixed batch would
+    forfeit the shared blocks scan that makes batched decode cheap.
+
+    ``return_plan=True`` additionally returns the dispatch record
+    (path, probe stats, threshold) so benchmarks log the decision actually
+    taken rather than re-deriving it.
     """
-    if crossover is None:
-        crossover = int(
-            os.environ.get("SPARK_GRAFT_WAND_CROSSOVER", WAND_CROSSOVER_N_DOCS)
+    if crossover_rows is None:
+        crossover_rows = int(
+            os.environ.get(
+                "SPARK_GRAFT_WAND_CROSSOVER_ROWS", WAND_CROSSOVER_DECODE_ROWS
+            )
         )
     n_docs = int(corpus_stats.select("n_docs").first()["n_docs"])
-    if n_docs >= crossover:
-        return wand_top_k(
-            spark, posting_blocks, corpus_stats, queries, k=k,
-            tokenizer=tokenizer, seed_factor=seed_factor,
-            n_term_buckets=n_term_buckets,
+
+    if n_term_buckets and "term_bucket" in posting_blocks.columns:
+        qterms_all = query_terms_df(spark, queries, tokenizer)
+        buckets = [
+            r["b"]
+            for r in qterms_all.select(
+                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        pruned = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+    else:
+        qterms_all = query_terms_df(spark, queries, tokenizer)
+        pruned = posting_blocks
+
+    # driver-side bound: Σdf per query ≤ (terms in query) × n_docs; if even
+    # the largest query cannot reach the crossover, skip the blocks probe
+    per_q = qterms_all.groupBy("query_id").agg(F.count("*").alias("nt")).collect()
+    max_terms = max((r["nt"] for r in per_q), default=0)
+    plan: dict = {
+        "crossover_rows": crossover_rows,
+        "n_docs": n_docs,
+        "max_terms_per_query": int(max_terms),
+    }
+    if max_terms * n_docs < crossover_rows:
+        plan.update({"path": "brute_stored", "probed": False})
+    else:
+        est = estimate_decode_rows(pruned, qterms_all).agg(
+            F.avg("est_rows").alias("mean"), F.max("est_rows").alias("mx")
+        ).collect()[0]
+        mean_rows = float(est["mean"] or 0.0)
+        plan.update(
+            {
+                "probed": True,
+                "est_rows_mean": round(mean_rows),
+                "est_rows_max": int(est["mx"] or 0),
+                "path": "wand" if mean_rows >= crossover_rows else "brute_stored",
+            }
         )
-    return brute_top_k_stored(
-        spark, posting_blocks, corpus_stats, queries, k=k,
-        tokenizer=tokenizer, n_term_buckets=n_term_buckets,
-    )
+
+    # the chosen path re-prunes by bucket itself; hand it the already-pruned
+    # frame with pruning disabled so the scan filter isn't recomputed
+    if plan["path"] == "wand":
+        out = wand_top_k(
+            spark, pruned, corpus_stats, queries, k=k,
+            tokenizer=tokenizer, seed_factor=seed_factor, n_term_buckets=None,
+        )
+    else:
+        out = brute_top_k_stored(
+            spark, pruned, corpus_stats, queries, k=k,
+            tokenizer=tokenizer, n_term_buckets=None,
+        )
+    return (out, plan) if return_plan else out
 
 
 def wand_top_k(

@@ -99,17 +99,56 @@ def test_top_k_auto_dispatch_both_sides(built, spark):
     qlist = [(int(r.query_id), r.query_str) for r in queries.itertuples()]
     terms = bm25.query_terms_df(spark, qlist)
     brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
-    # crossover above n_docs -> brute-stored path; below -> WAND path
-    for crossover in (N_DOCS * 10, 1):
-        auto = _collect_ranked(
-            top_k_auto(
-                spark, blocks, idx.corpus_stats, qlist, k=K, crossover=crossover
-            ).collect()
+    # decode-rows crossover above any possible volume -> brute-stored path;
+    # at 1 -> WAND path; the plan record must confirm the route taken
+    for crossover_rows, want_path in ((10**15, "brute_stored"), (1, "wand")):
+        out, plan = top_k_auto(
+            spark, blocks, idx.corpus_stats, qlist, k=K,
+            crossover_rows=crossover_rows, return_plan=True,
         )
-        assert set(brute) == set(auto), f"crossover={crossover}"
+        assert plan["path"] == want_path, plan
+        auto = _collect_ranked(out.collect())
+        assert set(brute) == set(auto), f"crossover_rows={crossover_rows}"
         for qid in brute:
             assert [d for d, _ in brute[qid]] == [d for d, _ in auto[qid]], (
-                f"crossover={crossover} q{qid}"
+                f"crossover_rows={crossover_rows} q{qid}"
             )
             for (_, sb), (_, sp) in zip(brute[qid], auto[qid]):
                 assert math.isclose(sb, sp, rel_tol=1e-9)
+
+
+def test_dispatch_is_volume_aware(built, spark):
+    """VERDICT r3 #2: the dispatcher keys on estimated decode volume
+    (batch-mean Σdf per query), not corpus size — at the SAME index, a
+    1-term batch and a 5-term batch must route to different paths when the
+    threshold sits between their decode volumes."""
+    from pyspark.sql import functions as F
+
+    from goldenretriever_spark.query.wand import estimate_decode_rows, top_k_auto
+
+    idx, blocks = built
+    mean_rows = {}
+    batches = {}
+    for qlen in (1, 5):
+        qs = corpus.fixed_length_queries(20, n_terms=qlen, seed=3)
+        qlist = [(int(r.query_id), r.query_str) for r in qs.itertuples()]
+        batches[qlen] = qlist
+        est = estimate_decode_rows(blocks, bm25.query_terms_df(spark, qlist))
+        mean_rows[qlen] = est.agg(F.avg("est_rows")).collect()[0][0]
+    assert mean_rows[1] < mean_rows[5]
+    threshold = int((mean_rows[1] + mean_rows[5]) / 2)
+
+    paths = {}
+    for qlen, qlist in batches.items():
+        out, plan = top_k_auto(
+            spark, blocks, idx.corpus_stats, qlist, k=K,
+            crossover_rows=threshold, return_plan=True,
+        )
+        paths[qlen] = plan["path"]
+        # whichever path: still rank-identical to brute force
+        terms = bm25.query_terms_df(spark, qlist)
+        brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
+        auto = _collect_ranked(out.collect())
+        for qid in brute:
+            assert [d for d, _ in brute[qid]] == [d for d, _ in auto[qid]]
+    assert paths == {1: "brute_stored", 5: "wand"}

@@ -74,7 +74,11 @@ def sweep(n_docs: int, runs: int, ks: list[int], qlens: list[int]) -> None:
     BENCH/WAND_SWEEP.json; rank-identity asserted in every cell."""
     from goldenretriever_spark import corpus
     from goldenretriever_spark.index.storage import StoredIndex
-    from goldenretriever_spark.query.wand import brute_top_k_stored, wand_top_k
+    from goldenretriever_spark.query.wand import (
+        brute_top_k_stored,
+        top_k_auto,
+        wand_top_k,
+    )
     from goldenretriever_spark.session import get_spark
 
     spark = get_spark("gr-wand-sweep", cores=32, shuffle_partitions=32)
@@ -101,22 +105,47 @@ def sweep(n_docs: int, runs: int, ks: list[int], qlens: list[int]) -> None:
                 "speedup": round(t_brute / t_wand, 2),
                 "rank_identical": _rank_key(r_brute) == _rank_key(r_wand),
             }
+            if k == 10:
+                # the volume-aware dispatcher on this same batch: the
+                # decision it ACTUALLY took (return_plan) + its wall time —
+                # the proof cell that 1-term batches route brute while
+                # 5-term batches route WAND at the same corpus size
+                plan_box = {}
+
+                def run_auto():
+                    out, plan = top_k_auto(
+                        spark, blocks, cstats, qlist, k=10,
+                        n_term_buckets=nb, return_plan=True,
+                    )
+                    plan_box.update(plan)
+                    return out
+
+                t_auto_c, r_auto = _time_best(run_auto, runs)
+                assert _rank_key(r_auto) == _rank_key(r_brute)
+                cell["auto_sec"] = round(t_auto_c, 2)
+                cell["auto_dispatch"] = plan_box
             cells.append(cell)
             print(json.dumps(cell), flush=True)
 
     # the dispatcher itself, on the standard 50-query reference batch: must
     # land within noise of the winning raw path at this corpus size
-    from goldenretriever_spark.query.wand import WAND_CROSSOVER_N_DOCS, top_k_auto
-
     qset = corpus.reference_queries(50, seed=42)
     qlist = [(int(r.query_id), r.query_str) for r in qset.itertuples()]
-    t_auto, _ = _time_best(
-        lambda: top_k_auto(spark, blocks, cstats, qlist, k=10, n_term_buckets=nb),
-        runs,
-    )
+    plan_box = {}
+
+    def run_auto_ref():
+        out, plan = top_k_auto(
+            spark, blocks, cstats, qlist, k=10, n_term_buckets=nb,
+            return_plan=True,
+        )
+        plan_box.update(plan)
+        return out
+
+    t_auto, _ = _time_best(run_auto_ref, runs)
     auto = {
         "auto_sec": round(t_auto, 2),
-        "auto_path": "wand" if n_docs >= WAND_CROSSOVER_N_DOCS else "brute_stored",
+        "auto_path": plan_box.get("path"),
+        "auto_dispatch": dict(plan_box),
     }
     print(json.dumps(auto), flush=True)
 
