@@ -12,6 +12,7 @@ compares integers, never raw doubles.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,17 @@ FLAGSHIP_QUERIES: list[tuple[int, str]] = [
 ]
 
 K = 10
+
+
+def _result_scratch(name: str) -> str:
+    """Per-invocation scratch parquet path for streaming results that must
+    outlive their streaming checkpoint dir. mkdtemp-scoped (ADVICE r3):
+    fixed /tmp filenames let two concurrent driver runs overwrite each
+    other's output mid-read; a fresh tempdir per call cannot collide. The
+    dir is small (one re-materialized result) and left for /tmp cleanup."""
+    import tempfile
+
+    return os.path.join(tempfile.mkdtemp(prefix=f"gr_entry_{name}_"), "out.parquet")
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +447,7 @@ def _stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_windowed_counts(
             spark, f"{tmp}/in", f"{tmp}/out", window="1 day", watermark="1 hour"
         )
-        out = "/tmp/gr_entry_stream_windows.parquet"
+        out = _result_scratch("stream_windows")
         window_counts_view(spark, f"{tmp}/out").select(
             F.col("window_start").cast("long").alias("ws_epoch"),
             F.col("window_end").cast("long").alias("we_epoch"),
@@ -465,7 +477,7 @@ def _stream_stateful_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         docs.coalesce(2).write.mode("overwrite").parquet(f"{tmp}/in")
         streaming_dedupe(spark, f"{tmp}/in", f"{tmp}/out")
-        out = "/tmp/gr_entry_stream_dedupe.parquet"
+        out = _result_scratch("stream_dedupe")
         deduped_view(spark, f"{tmp}/out").write.mode("overwrite").parquet(out)
         return spark.read.parquet(out)
     finally:
@@ -499,7 +511,7 @@ def _stream_incremental_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the streaming scratch dir is deleted below, so the returned frame
         # must not read from it — re-materialize to a stable scratch parquet
         # (distributed write/read; never a full-frame collect to the driver)
-        out = "/tmp/gr_entry_stream_postings.parquet"
+        out = _result_scratch("stream_postings")
         postings.select("term", "doc_id", "tf", "doc_len").write.mode(
             "overwrite"
         ).parquet(out)
@@ -557,6 +569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": ann.q_ann_lsh_multiprobe,
         "ann_lsh_multitable": ann.q_ann_lsh_multitable,
         "ann_ivf_topk": ann.q_ann_ivf_topk,
+        # trained coarse quantizer: iterative distributed k-means has no
+        # single-SQL twin — deliberately NO oracle_sql entry (driver records
+        # the rows-only check); determinism + recall asserted in pytest and
+        # BENCH/ANN_RECALL.json
+        "ann_ivf_trained_topk": ann.q_ann_ivf_trained_topk,
         # --- kb data model + eval harness + functions + sinks + streaming ---
         "kb_build_flatten": _kb_build_flatten,
         "eval_metrics_rollup": _eval_metrics_rollup,

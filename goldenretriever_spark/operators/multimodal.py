@@ -125,18 +125,32 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     the ANN/near-dup operators unchanged) are identical."""
 
     def feats(batches):
+        # ONE numpy pass per Arrow batch (no per-payload Python loop): all
+        # bodies concatenated, then a single bincount over the composite key
+        # (row_index * n_bins + bin) gives every row's histogram at once.
+        # Real codec-backed embedders replace this whole function body — the
+        # per-payload seam lives in decode/resize, not here.
+        shift = int(8 - np.log2(n_bins))
         for pdf in batches:
-            rows = []
-            for payload in pdf["payload"]:
-                body = np.frombuffer(bytes(payload), dtype=np.uint8)[8:]
-                if body.size:
-                    hist = np.bincount(body >> int(8 - np.log2(n_bins)), minlength=n_bins)
-                    vec = (hist / body.size).astype(np.float64)
-                else:
-                    vec = np.zeros(n_bins, dtype=np.float64)
-                rows.append(vec.tolist())
+            bufs = [bytes(p)[8:] for p in pdf["payload"]]
+            n = len(bufs)
+            if n == 0:
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "kind": pdf["kind"],
+                     "features": pd.Series([], dtype=object)}
+                )
+                continue
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+            data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            keys = np.repeat(
+                np.arange(n, dtype=np.int64) * n_bins, lens
+            ) + (data >> shift)
+            counts = np.bincount(keys, minlength=n * n_bins).reshape(n, n_bins)
+            denom = np.where(lens > 0, lens, 1).astype(np.float64)
+            vecs = counts / denom[:, None]
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "kind": pdf["kind"], "features": rows}
+                {"doc_id": pdf["doc_id"], "kind": pdf["kind"],
+                 "features": list(vecs.tolist())}
             )
 
     return media.mapInPandas(feats, schema=FEATURES_SCHEMA)

