@@ -408,6 +408,38 @@ def _rel_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rel_asof_join_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with NULLS in the carried right columns (round-4 ADVICE
+    fix, oracle-checked): value/qty are nulled on disjoint pid residues, so
+    any per-column forward fill would assemble (value, qty) pairs from two
+    different purchases — the DuckDB LATERAL twin carries whole rows and
+    catches exactly that."""
+    from goldenretriever_spark.operators.temporal import as_of_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("pid"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+        F.when(F.col("event_id") % 3 == 1, F.lit(None))
+        .otherwise(F.col("event_id") % 7)
+        .cast("long")
+        .alias("qty"),
+    )
+    out = as_of_join(clicks, purch, on=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.unix_timestamp("r_ts").alias("p_ts_epoch"),
+        F.col("r_pid").alias("p_event_id"),
+        F.round(F.col("r_value") * 10000).cast("long").alias("p_value_q"),
+        F.col("r_qty").cast("long").alias("p_qty"),
+    )
+
+
 def _rel_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binned range join: purchases within 24h before each click, rolled up
     per click (quantize-then-sum keeps the value integer-exact in both
@@ -546,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets_region": relational.q_grouping_sets_region,
         "rel_train_test_split": split.q_train_test_split,
         "rel_asof_join": _rel_asof_join,
+        "rel_asof_join_nulls": _rel_asof_join_nulls,
         "rel_session_windows": _rel_session_windows,
         "rel_percentiles": _rel_percentiles,
         "rel_pivot": _rel_pivot,
@@ -773,6 +806,20 @@ purch AS (SELECT user_id, ts, event_id AS pid, value FROM events WHERE event_typ
 SELECT c.event_id, c.user_id, floor(epoch(c.ts))::BIGINT AS ts_epoch,
        floor(epoch(p.ts))::BIGINT AS p_ts_epoch, p.pid AS p_event_id,
        CAST(round(p.value * 10000) AS BIGINT) AS p_value_q
+FROM clicks c LEFT JOIN LATERAL (
+  SELECT * FROM purch p WHERE p.user_id = c.user_id AND p.ts <= c.ts
+  ORDER BY p.ts DESC, p.pid DESC LIMIT 1) p ON TRUE
+""",
+        "rel_asof_join_nulls": """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+purch AS (SELECT user_id, ts, event_id AS pid,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS value,
+       CASE WHEN event_id % 3 = 1 THEN NULL ELSE event_id % 7 END AS qty
+  FROM events WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, floor(epoch(c.ts))::BIGINT AS ts_epoch,
+       floor(epoch(p.ts))::BIGINT AS p_ts_epoch, p.pid AS p_event_id,
+       CAST(round(p.value * 10000) AS BIGINT) AS p_value_q,
+       p.qty::BIGINT AS p_qty
 FROM clicks c LEFT JOIN LATERAL (
   SELECT * FROM purch p WHERE p.user_id = c.user_id AND p.ts <= c.ts
   ORDER BY p.ts DESC, p.pid DESC LIMIT 1) p ON TRUE
