@@ -99,15 +99,18 @@ def brute_top_k_stored(
     k: int = 10,
     tokenizer: str = "simple",
     n_term_buckets: int | None = None,
+    qterms: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k over the STORED index with NO pruning: decode every block
     of every query term, score, rank. This is the baseline wand_top_k must
     beat — same storage, same decode path, identical results; the only
     difference is the θ-pruning machinery (tools/wand_crossover.py measures
-    where pruning starts paying for itself)."""
+    where pruning starts paying for itself). ``qterms`` lets a caller that
+    already tokenized the batch (the dispatcher) pass it through."""
     row = corpus_stats.collect()[0]
     n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
-    qterms = query_terms_df(spark, queries, tokenizer)
+    if qterms is None:
+        qterms = query_terms_df(spark, queries, tokenizer)
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
         buckets = [
             r["b"]
@@ -198,8 +201,10 @@ def top_k_auto(
         )
     n_docs = int(corpus_stats.select("n_docs").first()["n_docs"])
 
+    # tokenize ONCE, materialize (tiny frame, several consumers: bucket
+    # list, driver-side bound, df probe, and the routed path itself)
+    qterms_all = query_terms_df(spark, queries, tokenizer).localCheckpoint(eager=True)
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
-        qterms_all = query_terms_df(spark, queries, tokenizer)
         buckets = [
             r["b"]
             for r in qterms_all.select(
@@ -208,7 +213,6 @@ def top_k_auto(
         ]
         pruned = posting_blocks.filter(F.col("term_bucket").isin(buckets))
     else:
-        qterms_all = query_terms_df(spark, queries, tokenizer)
         pruned = posting_blocks
 
     # driver-side bound: Σdf per query ≤ (terms in query) × n_docs; if even
@@ -242,11 +246,12 @@ def top_k_auto(
         out = wand_top_k(
             spark, pruned, corpus_stats, queries, k=k,
             tokenizer=tokenizer, seed_factor=seed_factor, n_term_buckets=None,
+            qterms=qterms_all,
         )
     else:
         out = brute_top_k_stored(
             spark, pruned, corpus_stats, queries, k=k,
-            tokenizer=tokenizer, n_term_buckets=None,
+            tokenizer=tokenizer, n_term_buckets=None, qterms=qterms_all,
         )
     return (out, plan) if return_plan else out
 
@@ -260,6 +265,7 @@ def wand_top_k(
     tokenizer: str = "simple",
     seed_factor: int = 4,
     n_term_buckets: int | None = None,
+    qterms: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k per query over the compressed index; rank-identical to brute force.
 
@@ -267,12 +273,14 @@ def wand_top_k(
     ``StoredIndex(spark, path).n_term_buckets`` (persisted in the index's
     ``_meta``). The default is None (no partition pruning): a wrong guess
     would silently drop buckets and return incomplete top-k, so pruning is
-    opt-in with the persisted value only.
+    opt-in with the persisted value only. ``qterms``: pre-tokenized batch
+    pass-through (the dispatcher supplies it; avoids re-tokenizing).
     """
     row = corpus_stats.collect()[0]
     n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
 
-    qterms = query_terms_df(spark, queries, tokenizer)
+    if qterms is None:
+        qterms = query_terms_df(spark, queries, tokenizer)
 
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
         # partition pruning: only scan buckets that contain a query term

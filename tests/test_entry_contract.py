@@ -17,10 +17,17 @@ def test_entry_returns_rows(spark):
     assert len(df.collect()) > 0
 
 
+# Queries DELIBERATELY without a SQL twin (driver records rows-only):
+# iterative distributed algorithms with no single-SQL equivalent. Anything
+# else missing an oracle is a bug.
+ROWS_ONLY = {"ann_ivf_trained_topk"}
+
+
 def test_every_query_has_oracle_and_runs(spark):
     qs, oracles = E.queries(), E.oracle_sql()
-    missing = [k for k in qs if k not in oracles]
+    missing = [k for k in qs if k not in oracles and k not in ROWS_ONLY]
     assert not missing, f"queries without oracle twins: {missing}"
+    assert not (set(oracles) - set(qs)), "orphan oracles"
     for name, fn in qs.items():
         df = fn(spark, SF)
         n = df.count()
