@@ -595,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
         "dedup_simhash": dedup.q_simhash,
         "dedup_simhash_pairs": dedup.q_simhash_pairs,
+        "dedup_components": dedup.q_dedup_components,
         "dedup_embedding_neardup": dedup.q_embedding_neardup_pairs,
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
@@ -626,6 +627,24 @@ def oracle_sql() -> dict[str, str]:
 
     out = all_oracles()
     out.update(_ir_oracles())
+    # Near-dup connected components: the SimHash-pairs oracle is reused as
+    # the edge set, then a recursive CTE propagates the min reachable id —
+    # DuckDB's fixpoint semantics (UNION dedup) terminate exactly at the
+    # component minimum, the same fixpoint the Spark pointer-doubling
+    # label propagation converges to.
+    out["dedup_components"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({out['dedup_simhash_pairs']}) WHERE hamming <= 1),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, min(r)::BIGINT AS component_id FROM reach GROUP BY id
+"""
     return out
 
 

@@ -331,3 +331,88 @@ def q_embedding_neardup_pairs(
     return embedding_neardup_pairs(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=threshold
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup pairs -> dup CLUSTERS: (id, component) with component = the
+    minimum id reachable through the undirected edge set — the step a real
+    dedup pipeline runs after pair generation (keep min-id per component,
+    drop the rest).
+
+    Iterative min-label propagation accelerated with POINTER DOUBLING:
+    each round sets
+        label(u) <- min(label(u), label(label(u)), min_{v in N(u)} label(v))
+    so labels chase the component minimum through both direct edges and the
+    label graph — O(log diameter) rounds instead of O(diameter) for plain
+    neighbor propagation (the classic Shiloach-Vishkin shortcutting idea;
+    at extreme scale the same fixpoint is computed by large-star/small-star
+    alternation, Kiveris et al. 2014). Each round is two shuffles on id;
+    ``localCheckpoint`` truncates lineage so round N's plan does not replay
+    rounds 1..N-1. Labels only decrease and are bounded below by the
+    component min, so the fixpoint is exact; iteration stops at the first
+    unchanged round (converged flag asserted in tests, max_iter is a
+    backstop only).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
+            .groupBy("a")
+            .agg(F.min("nl").alias("nbr_min"))
+            .withColumnRenamed("a", "id")
+        )
+        # label-of-label (pointer doubling): key = node id L, value =
+        # label(L); joined below on the current label column
+        hop = labels.withColumnRenamed("label", "hl").select(
+            F.col("id").alias("label"), F.col("hl").alias("hop_min")
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .join(hop, "label", "left")
+            .select(
+                "id",
+                F.least(
+                    "label",
+                    F.coalesce("nbr_min", "label"),
+                    F.coalesce("hop_min", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str, max_hamming: int = 1) -> DataFrame:
+    """Contract query: SimHash near-dup pairs -> connected components.
+    Output (doc_id, component_id) for every document that appears in at
+    least one near-dup pair; component_id = min doc_id of the cluster (the
+    canonical survivor a keep-one dedup retains). Hamming <= 1 edges are NOT
+    transitive, so clusters genuinely need the graph fixpoint (1-bit steps
+    chain into larger clusters) — the band-join still generates candidates
+    pigeonhole-losslessly because the pair op bands for Hamming <= 3."""
+    pairs = q_simhash_pairs(spark, sf_dir).filter(F.col("hamming") <= max_hamming)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("component_id")
+    )

@@ -272,3 +272,45 @@ def test_streaming_dedupe_continuous_evicts_state(spark, tmp_path):
         assert saw_evicted, "idle expired state was not evicted"
     finally:
         q.stop()
+
+
+def test_connected_components_vs_union_find(spark):
+    """Pointer-doubling label propagation must equal a reference union-find
+    on random graphs (3 seeds, incl. chains that punish plain neighbor
+    propagation) — component = min reachable id."""
+    from goldenretriever_spark.operators.dedup import connected_components
+
+    def union_find(n_ids, edge_list):
+        parent = {i: i for i in n_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in n_ids}
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        edge_list = [
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, 120, 80), rng.integers(0, 120, 80))
+            if a != b
+        ]
+        # adversarial long chain: needs pointer doubling to converge fast
+        chain = [(1000 + i, 1000 + i + 1) for i in range(60)]
+        edge_list += chain
+        ids = sorted({x for e in edge_list for x in e})
+        want = union_find(ids, edge_list)
+
+        edges = spark.createDataFrame(edge_list, "doc_a long, doc_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, max_iter=15).collect()
+        }
+        assert got == want, f"seed={seed}"
