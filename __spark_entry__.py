@@ -596,6 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.q_simhash,
         "dedup_simhash_pairs": dedup.q_simhash_pairs,
         "dedup_components": dedup.q_dedup_components,
+        "dedup_keep_canonical": dedup.q_dedup_keep_canonical,
         "dedup_embedding_neardup": dedup.q_embedding_neardup_pairs,
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
@@ -644,6 +645,24 @@ reach(id, r) AS (
   SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
 )
 SELECT id AS doc_id, min(r)::BIGINT AS component_id FROM reach GROUP BY id
+"""
+    # keep-one dedup: corpus minus non-canonical cluster members
+    out["dedup_keep_canonical"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT * FROM ({out['dedup_simhash_pairs']}) WHERE hamming <= 1),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY id),
+losers AS (SELECT doc_id FROM comp WHERE doc_id != component_id)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
 """
     return out
 

@@ -416,3 +416,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str, max_hamming: int = 1) -
     return connected_components(pairs).select(
         F.col("id").alias("doc_id"), F.col("component").alias("component_id")
     )
+
+
+def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str, max_hamming: int = 1) -> DataFrame:
+    """The end product of the near-dup pipeline: the corpus with every
+    non-canonical cluster member dropped (keep min doc_id per SimHash
+    component, keep all docs with no near-dup). pairs -> components ->
+    anti-join: the anti side carries only (doc_id) longs, never text."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comp = q_dedup_components(spark, sf_dir, max_hamming=max_hamming)
+    losers = comp.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return (
+        docs.join(losers, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
