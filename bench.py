@@ -35,7 +35,7 @@ def main() -> None:
     from goldenretriever_spark.query import bm25
     from goldenretriever_spark.query.wand import (
         brute_top_k_stored,
-        top_k_auto,
+        dispatch_top_k,
         wand_top_k,
     )
     from goldenretriever_spark.session import get_spark
@@ -51,11 +51,21 @@ def main() -> None:
         )
     docs = spark.read.parquet(CORPUS_CACHE)
 
+    # Warmup discipline (VERDICT r4 #3): the driver records a SINGLE cold
+    # sample on a host with a measured ±25% ambient band; a cold JVM pays
+    # JIT/codegen compilation and Python-worker spin-up on whichever query
+    # runs first, which manufactured phantom cross-round regressions. Every
+    # headline query below therefore runs ONE untimed warmup pass before its
+    # timed pass — same rationale as the scaling protocol in BENCH/BASELINE.md.
+    def bench_build():
+        idx = build_index(docs, tokenizer="simple")
+        blocks = pack_blocks(idx, block_size=128, target_docs_per_group=250_000)
+        return idx, blocks, blocks.count()  # count() materializes the build
+
     # -- q1: full index build (postings + stats + compressed blocks) ---------
+    bench_build()  # warmup (JIT + shuffle machinery)
     t0 = time.time()
-    idx = build_index(docs, tokenizer="simple")
-    blocks = pack_blocks(idx, block_size=128, target_docs_per_group=250_000)
-    n_blocks = blocks.count()  # materializes the whole build
+    idx, blocks, n_blocks = bench_build()
     timings["ir_index_build"] = time.time() - t0
     build_files_per_sec = BENCH_DOCS / timings["ir_index_build"]
 
@@ -69,65 +79,98 @@ def main() -> None:
     qlist = [(int(r.query_id), r.query_str) for r in qset.itertuples()]
 
     # -- q2: brute-force BM25, 50-query batch --------------------------------
+    def bench_brute():
+        terms = bm25.query_terms_df(spark, qlist)
+        bm25.top_k(idx, terms, k=10).count()
+
+    bench_brute()  # warmup
     t0 = time.time()
-    terms = bm25.query_terms_df(spark, qlist)
-    bm25.top_k(idx, terms, k=10).count()
+    bench_brute()
     timings["bm25_brute_batch50"] = time.time() - t0
 
     # -- q3: stored-index top-k with measured brute/WAND dispatch ------------
-    # top_k_auto dispatches on estimated decode volume (batch-mean Σdf per
-    # query vs the measured crossover); both raw paths are timed below as
-    # diagnostics. The recorded auto_path/dispatch is the decision the
-    # dispatcher ACTUALLY took (return_plan), not a re-derivation.
+    # dispatch_top_k routes per query on estimated decode volume (Σdf vs the
+    # measured crossover; mixed batches split); both raw paths are timed
+    # below as diagnostics. The recorded auto_path/dispatch is the decision
+    # the dispatcher ACTUALLY took, not a re-derivation.
+    def bench_auto():
+        out, plan = dispatch_top_k(
+            spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None
+        )
+        out.count()
+        return plan
+
+    bench_auto()  # warmup
     t0 = time.time()
-    auto, dispatch = top_k_auto(
-        spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None,
-        return_plan=True,
-    )
-    auto.count()
+    dispatch = bench_auto()
     timings["bm25_stored_auto_batch50"] = time.time() - t0
 
     diagnostics: dict[str, object] = {
         "auto_path": dispatch["path"],
         "dispatch": dispatch,
     }
+
+    def bench_wand():
+        wand_top_k(
+            spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None
+        ).count()
+
+    def bench_brute_stored():
+        brute_top_k_stored(
+            spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None
+        ).count()
+
+    bench_wand()  # warmup
     t0 = time.time()
-    wand_top_k(spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None).count()
+    bench_wand()
     diagnostics["raw_wand_batch50_sec"] = round(time.time() - t0, 3)
+    bench_brute_stored()  # warmup
     t0 = time.time()
-    brute_top_k_stored(
-        spark, blocks, idx.corpus_stats, qlist, k=10, n_term_buckets=None
-    ).count()
+    bench_brute_stored()
     diagnostics["raw_brute_stored_batch50_sec"] = round(time.time() - t0, 3)
 
     # -- q4: TPC-H-ish pricing summary (agg) over sf lineitem ----------------
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    t0 = time.time()
-    (
-        li.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("cnt"),
+
+    def bench_pricing():
+        (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+                F.avg("l_discount").alias("avg_disc"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .collect()
         )
-        .collect()
-    )
+
+    bench_pricing()  # warmup
+    t0 = time.time()
+    bench_pricing()
     timings["tpch_q1_pricing"] = time.time() - t0
 
     # -- q5: join + top-k over orders/customer -------------------------------
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+    def bench_join_topk():
+        (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue"
+                )
+            )
+            .orderBy(F.desc("revenue"))
+            .limit(5)
+            .collect()
+        )
+
+    bench_join_topk()  # warmup
     t0 = time.time()
-    (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.desc("revenue"))
-        .limit(5)
-        .collect()
-    )
+    bench_join_topk()
     timings["tpch_q3_join_topk"] = time.time() - t0
 
     total = sum(timings.values())

@@ -100,15 +100,20 @@ def brute_top_k_stored(
     tokenizer: str = "simple",
     n_term_buckets: int | None = None,
     qterms: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Exact top-k over the STORED index with NO pruning: decode every block
     of every query term, score, rank. This is the baseline wand_top_k must
     beat — same storage, same decode path, identical results; the only
     difference is the θ-pruning machinery (tools/wand_crossover.py measures
     where pruning starts paying for itself). ``qterms`` lets a caller that
-    already tokenized the batch (the dispatcher) pass it through."""
-    row = corpus_stats.collect()[0]
-    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+    already tokenized the batch (the dispatcher) pass it through; ``stats``
+    is a pre-collected (n_docs, avgdl) so the dispatcher's corpus_stats read
+    is not repeated here."""
+    if stats is None:
+        row = corpus_stats.collect()[0]
+        stats = (int(row["n_docs"]), float(row["avgdl"]))
+    n_docs, avgdl = stats
     if qterms is None:
         qterms = query_terms_df(spark, queries, tokenizer)
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
@@ -148,17 +153,178 @@ def estimate_decode_rows(posting_blocks: DataFrame, qterms: DataFrame) -> DataFr
     """Per-query estimated decode volume: Σ df over the query's distinct
     terms == exactly the postings an unpruned stored-index scan decodes.
     Metadata-only: reads (term, df) from the (bucket-pruned) blocks scan —
-    parquet column pruning keeps the blob columns untouched."""
+    parquet column pruning keeps the blob columns untouched. LEFT join with
+    df coalesced to 0 (ADVICE r4): every query_id contributes a row, so a
+    batch mixing no-hit queries with heavy ones does not overstate the mean
+    and misroute to WAND."""
     tdf = (
         posting_blocks.select("term", "df")
         .groupBy("term")
         .agg(F.first("df").alias("df"))
     )
     return (
-        qterms.join(tdf, "term")
+        qterms.join(tdf, "term", "left")
         .groupBy("query_id")
-        .agg(F.sum("df").alias("est_rows"))
+        .agg(F.sum(F.coalesce(F.col("df"), F.lit(0))).alias("est_rows"))
     )
+
+
+def _driver_side_toksets(queries, tokenizer: str) -> dict | None:
+    """For list-typed batches, the per-query UNIQUE term sets computed on the
+    driver with the oracle twin of the engine tokenizer — ZERO Spark jobs.
+    The twins are equality-tested on every input class (tests/test_round2),
+    so the term COUNT bound derived here is exactly what query_terms_df would
+    produce. Returns None for DataFrame inputs (unknown size; tokenize
+    distributed instead)."""
+    if isinstance(queries, DataFrame):
+        return None
+    from goldenretriever_spark.oracle import tokenize
+
+    return {int(qid): set(tokenize(qstr, tokenizer)) for qid, qstr in queries}
+
+
+def dispatch_top_k(
+    spark: SparkSession,
+    posting_blocks: DataFrame,
+    corpus_stats: DataFrame,
+    queries,
+    k: int = 10,
+    tokenizer: str = "simple",
+    seed_factor: int = 4,
+    n_term_buckets: int | None = None,
+    crossover_rows: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Top-k over the stored index with brute-stored vs WAND auto-dispatch.
+
+    Always returns ``(result, plan)`` — the stable-shape API (ADVICE r4);
+    ``top_k_auto`` is the thin wrapper for callers that only want the frame.
+
+    Both paths answer from the same compressed blocks and are rank-identical
+    (tests/test_wand.py); the ONLY difference is whether the θ-pruning
+    machinery pays for itself. The dispatch signal is the PER-QUERY estimated
+    decode volume (Σ df over the query's terms, from the blocks metadata)
+    against the measured ``WAND_CROSSOVER_DECODE_ROWS`` — a mixed batch is
+    SPLIT: queries whose estimated volume clears the crossover run WAND,
+    the rest run brute-stored, and the two result sets union (per-query
+    routing means a batch mixing 1-term and 5-term queries no longer pays
+    the wrong path on half its members). Threshold overridable per call or
+    via $SPARK_GRAFT_WAND_CROSSOVER_ROWS.
+
+    Fixed-overhead control on the hot serving row:
+    - corpus_stats is collected ONCE here and handed to the routed path(s).
+    - for list-typed batches the max-terms bound comes from driver-side
+      tokenization (oracle twin) — no Spark job.
+    - the df probe is skipped when the driver-side upper bound
+      (max terms/query × n_docs) already rules WAND out, and in that case
+      qterms is NOT localCheckpoint-ed (single consumer — the brute path).
+    """
+    if crossover_rows is None:
+        crossover_rows = int(
+            os.environ.get(
+                "SPARK_GRAFT_WAND_CROSSOVER_ROWS", WAND_CROSSOVER_DECODE_ROWS
+            )
+        )
+    row = corpus_stats.collect()[0]
+    stats = (int(row["n_docs"]), float(row["avgdl"]))
+    n_docs = stats[0]
+
+    toksets = _driver_side_toksets(queries, tokenizer)
+    qterms_all: DataFrame | None = None  # built lazily; checkpointed only if reused
+
+    if n_term_buckets and "term_bucket" in posting_blocks.columns:
+        if toksets is not None:
+            # distinct terms known driver-side -> one tiny createDataFrame,
+            # no tokenize/dedup shuffle just to learn the bucket list
+            uniq = sorted({t for ts in toksets.values() for t in ts})
+            bsrc = spark.createDataFrame([(t,) for t in uniq], "term string")
+        else:
+            qterms_all = query_terms_df(spark, queries, tokenizer).localCheckpoint(
+                eager=True
+            )
+            bsrc = qterms_all
+        buckets = [
+            r["b"]
+            for r in bsrc.select(
+                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        pruned = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+    else:
+        pruned = posting_blocks
+
+    # driver-side bound: Σdf per query ≤ (terms in query) × n_docs; if even
+    # the largest query cannot reach the crossover, skip the blocks probe
+    if toksets is not None:
+        max_terms = max((len(ts) for ts in toksets.values()), default=0)
+    else:
+        if qterms_all is None:
+            qterms_all = query_terms_df(spark, queries, tokenizer).localCheckpoint(
+                eager=True
+            )
+        per_q = qterms_all.groupBy("query_id").agg(F.count("*").alias("nt")).collect()
+        max_terms = max((r["nt"] for r in per_q), default=0)
+    plan: dict = {
+        "crossover_rows": crossover_rows,
+        "n_docs": n_docs,
+        "max_terms_per_query": int(max_terms),
+    }
+
+    if max_terms * n_docs < crossover_rows:
+        # probe skipped: single consumer ahead, keep qterms a lazy plan
+        plan.update({"path": "brute_stored", "probed": False})
+        if qterms_all is None:
+            qterms_all = query_terms_df(spark, queries, tokenizer)
+        out = brute_top_k_stored(
+            spark, pruned, corpus_stats, queries, k=k,
+            tokenizer=tokenizer, n_term_buckets=None, qterms=qterms_all, stats=stats,
+        )
+        return out, plan
+
+    if qterms_all is None:
+        # several consumers from here (probe + routed paths) -> materialize
+        qterms_all = query_terms_df(spark, queries, tokenizer).localCheckpoint(
+            eager=True
+        )
+    est_rows = {
+        r["query_id"]: int(r["est_rows"])
+        for r in estimate_decode_rows(pruned, qterms_all).collect()
+    }
+    wand_ids = [q for q, v in est_rows.items() if v >= crossover_rows]
+    brute_ids = [q for q, v in est_rows.items() if v < crossover_rows]
+    vals = list(est_rows.values())
+    plan.update(
+        {
+            "probed": True,
+            "est_rows_mean": round(sum(vals) / len(vals)) if vals else 0,
+            "est_rows_max": max(vals, default=0),
+            "n_wand": len(wand_ids),
+            "n_brute": len(brute_ids),
+        }
+    )
+
+    def run_wand(qt: DataFrame) -> DataFrame:
+        return wand_top_k(
+            spark, pruned, corpus_stats, queries, k=k,
+            tokenizer=tokenizer, seed_factor=seed_factor, n_term_buckets=None,
+            qterms=qt, stats=stats,
+        )
+
+    def run_brute(qt: DataFrame) -> DataFrame:
+        return brute_top_k_stored(
+            spark, pruned, corpus_stats, queries, k=k,
+            tokenizer=tokenizer, n_term_buckets=None, qterms=qt, stats=stats,
+        )
+
+    if not brute_ids:
+        plan["path"] = "wand"
+        return run_wand(qterms_all), plan
+    if not wand_ids:
+        plan["path"] = "brute_stored"
+        return run_brute(qterms_all), plan
+    plan["path"] = "split"
+    wand_out = run_wand(qterms_all.filter(F.col("query_id").isin(wand_ids)))
+    brute_out = run_brute(qterms_all.filter(F.col("query_id").isin(brute_ids)))
+    return wand_out.unionByName(brute_out), plan
 
 
 def top_k_auto(
@@ -173,86 +339,15 @@ def top_k_auto(
     crossover_rows: int | None = None,
     return_plan: bool = False,
 ) -> DataFrame:
-    """Top-k over the stored index, auto-dispatching brute-stored vs WAND.
-
-    Both paths answer from the same compressed blocks and are rank-identical
-    (tests/test_wand.py); the ONLY difference is whether the θ-pruning
-    machinery pays for itself. The dispatch signal is the batch-mean
-    ESTIMATED DECODE VOLUME per query (Σ df over each query's terms, from
-    the blocks metadata) against the measured ``WAND_CROSSOVER_DECODE_ROWS``
-    — so a single-term query batch over a huge corpus correctly runs brute
-    while a long-query batch over the same corpus runs WAND. Overridable per
-    call or via $SPARK_GRAFT_WAND_CROSSOVER_ROWS.
-
-    Cost control: the df probe is skipped when the driver-side upper bound
-    (max terms/query × n_docs) already rules WAND out — small corpora pay
-    zero probe jobs. One batch = one path: splitting a mixed batch would
-    forfeit the shared blocks scan that makes batched decode cheap.
-
-    ``return_plan=True`` additionally returns the dispatch record
-    (path, probe stats, threshold) so benchmarks log the decision actually
-    taken rather than re-deriving it.
-    """
-    if crossover_rows is None:
-        crossover_rows = int(
-            os.environ.get(
-                "SPARK_GRAFT_WAND_CROSSOVER_ROWS", WAND_CROSSOVER_DECODE_ROWS
-            )
-        )
-    n_docs = int(corpus_stats.select("n_docs").first()["n_docs"])
-
-    # tokenize ONCE, materialize (tiny frame, several consumers: bucket
-    # list, driver-side bound, df probe, and the routed path itself)
-    qterms_all = query_terms_df(spark, queries, tokenizer).localCheckpoint(eager=True)
-    if n_term_buckets and "term_bucket" in posting_blocks.columns:
-        buckets = [
-            r["b"]
-            for r in qterms_all.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
-            ).distinct().collect()
-        ]
-        pruned = posting_blocks.filter(F.col("term_bucket").isin(buckets))
-    else:
-        pruned = posting_blocks
-
-    # driver-side bound: Σdf per query ≤ (terms in query) × n_docs; if even
-    # the largest query cannot reach the crossover, skip the blocks probe
-    per_q = qterms_all.groupBy("query_id").agg(F.count("*").alias("nt")).collect()
-    max_terms = max((r["nt"] for r in per_q), default=0)
-    plan: dict = {
-        "crossover_rows": crossover_rows,
-        "n_docs": n_docs,
-        "max_terms_per_query": int(max_terms),
-    }
-    if max_terms * n_docs < crossover_rows:
-        plan.update({"path": "brute_stored", "probed": False})
-    else:
-        est = estimate_decode_rows(pruned, qterms_all).agg(
-            F.avg("est_rows").alias("mean"), F.max("est_rows").alias("mx")
-        ).collect()[0]
-        mean_rows = float(est["mean"] or 0.0)
-        plan.update(
-            {
-                "probed": True,
-                "est_rows_mean": round(mean_rows),
-                "est_rows_max": int(est["mx"] or 0),
-                "path": "wand" if mean_rows >= crossover_rows else "brute_stored",
-            }
-        )
-
-    # the chosen path re-prunes by bucket itself; hand it the already-pruned
-    # frame with pruning disabled so the scan filter isn't recomputed
-    if plan["path"] == "wand":
-        out = wand_top_k(
-            spark, pruned, corpus_stats, queries, k=k,
-            tokenizer=tokenizer, seed_factor=seed_factor, n_term_buckets=None,
-            qterms=qterms_all,
-        )
-    else:
-        out = brute_top_k_stored(
-            spark, pruned, corpus_stats, queries, k=k,
-            tokenizer=tokenizer, n_term_buckets=None, qterms=qterms_all,
-        )
+    """Thin wrapper over :func:`dispatch_top_k` (which see for dispatch
+    semantics). Returns the result frame; ``return_plan=True`` returns
+    ``(result, plan)``. Call sites that toggle the flag dynamically should
+    call ``dispatch_top_k`` directly — its return shape never changes."""
+    out, plan = dispatch_top_k(
+        spark, posting_blocks, corpus_stats, queries, k=k, tokenizer=tokenizer,
+        seed_factor=seed_factor, n_term_buckets=n_term_buckets,
+        crossover_rows=crossover_rows,
+    )
     return (out, plan) if return_plan else out
 
 
@@ -266,6 +361,7 @@ def wand_top_k(
     seed_factor: int = 4,
     n_term_buckets: int | None = None,
     qterms: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Top-k per query over the compressed index; rank-identical to brute force.
 
@@ -275,9 +371,13 @@ def wand_top_k(
     would silently drop buckets and return incomplete top-k, so pruning is
     opt-in with the persisted value only. ``qterms``: pre-tokenized batch
     pass-through (the dispatcher supplies it; avoids re-tokenizing).
+    ``stats``: pre-collected (n_docs, avgdl), same contract as
+    brute_top_k_stored.
     """
-    row = corpus_stats.collect()[0]
-    n_docs, avgdl = int(row["n_docs"]), float(row["avgdl"])
+    if stats is None:
+        row = corpus_stats.collect()[0]
+        stats = (int(row["n_docs"]), float(row["avgdl"]))
+    n_docs, avgdl = stats
 
     if qterms is None:
         qterms = query_terms_df(spark, queries, tokenizer)

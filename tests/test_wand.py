@@ -100,8 +100,10 @@ def test_top_k_auto_dispatch_both_sides(built, spark):
     terms = bm25.query_terms_df(spark, qlist)
     brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
     # decode-rows crossover above any possible volume -> brute-stored path;
-    # at 1 -> WAND path; the plan record must confirm the route taken
-    for crossover_rows, want_path in ((10**15, "brute_stored"), (1, "wand")):
+    # at 0 every query clears it -> WAND path (a batch with absent-term
+    # queries would SPLIT at 1, which is its own test below); the plan
+    # record must confirm the route taken
+    for crossover_rows, want_path in ((10**15, "brute_stored"), (0, "wand")):
         out, plan = top_k_auto(
             spark, blocks, idx.corpus_stats, qlist, k=K,
             crossover_rows=crossover_rows, return_plan=True,
@@ -118,37 +120,86 @@ def test_top_k_auto_dispatch_both_sides(built, spark):
 
 
 def test_dispatch_is_volume_aware(built, spark):
-    """VERDICT r3 #2: the dispatcher keys on estimated decode volume
-    (batch-mean Σdf per query), not corpus size — at the SAME index, a
-    1-term batch and a 5-term batch must route to different paths when the
-    threshold sits between their decode volumes."""
+    """VERDICT r3 #2 + r4 #5: the dispatcher keys on PER-QUERY estimated
+    decode volume (Σdf), not corpus size — at the SAME index, a 1-term batch
+    must route predominantly brute and a 5-term batch predominantly WAND when
+    the threshold sits between their mean decode volumes, and the per-side
+    counts in the plan must equal exactly the per-query est-rows verdicts."""
     from pyspark.sql import functions as F
 
-    from goldenretriever_spark.query.wand import estimate_decode_rows, top_k_auto
+    from goldenretriever_spark.query.wand import dispatch_top_k, estimate_decode_rows
 
     idx, blocks = built
     mean_rows = {}
+    per_query = {}
     batches = {}
     for qlen in (1, 5):
         qs = corpus.fixed_length_queries(20, n_terms=qlen, seed=3)
         qlist = [(int(r.query_id), r.query_str) for r in qs.itertuples()]
         batches[qlen] = qlist
         est = estimate_decode_rows(blocks, bm25.query_terms_df(spark, qlist))
-        mean_rows[qlen] = est.agg(F.avg("est_rows")).collect()[0][0]
+        rows = {r["query_id"]: int(r["est_rows"]) for r in est.collect()}
+        per_query[qlen] = rows
+        mean_rows[qlen] = sum(rows.values()) / len(rows)
     assert mean_rows[1] < mean_rows[5]
     threshold = int((mean_rows[1] + mean_rows[5]) / 2)
 
-    paths = {}
+    wand_frac = {}
     for qlen, qlist in batches.items():
-        out, plan = top_k_auto(
+        out, plan = dispatch_top_k(
             spark, blocks, idx.corpus_stats, qlist, k=K,
-            crossover_rows=threshold, return_plan=True,
+            crossover_rows=threshold,
         )
-        paths[qlen] = plan["path"]
-        # whichever path: still rank-identical to brute force
+        want_wand = sum(1 for v in per_query[qlen].values() if v >= threshold)
+        if plan["path"] == "split":
+            assert plan["n_wand"] == want_wand, plan
+            assert plan["n_wand"] + plan["n_brute"] == len(qlist)
+        elif plan["path"] == "wand":
+            assert want_wand == len(per_query[qlen])
+        else:
+            assert want_wand == 0
+        wand_frac[qlen] = want_wand / len(qlist)
+        # whichever route: still rank-identical to brute force
         terms = bm25.query_terms_df(spark, qlist)
         brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
         auto = _collect_ranked(out.collect())
         for qid in brute:
             assert [d for d, _ in brute[qid]] == [d for d, _ in auto[qid]]
-    assert paths == {1: "brute_stored", 5: "wand"}
+    # short queries route (mostly) brute, long queries (mostly) WAND
+    assert wand_frac[1] < 0.5 < wand_frac[5]
+
+
+def test_mixed_batch_splits(built, spark):
+    """VERDICT r4 #5: a batch mixing low- and high-volume queries routes each
+    query to its winning path (plan path 'split'), and the unioned result is
+    still rank-identical to brute force on every query."""
+    from goldenretriever_spark.query.wand import dispatch_top_k, estimate_decode_rows
+
+    idx, blocks = built
+    q1 = corpus.fixed_length_queries(10, n_terms=1, seed=3)
+    q5 = corpus.fixed_length_queries(10, n_terms=5, seed=3)
+    qlist = [(int(r.query_id), r.query_str) for r in q1.itertuples()] + [
+        (100 + int(r.query_id), r.query_str) for r in q5.itertuples()
+    ]
+    est = {
+        r["query_id"]: int(r["est_rows"])
+        for r in estimate_decode_rows(
+            blocks, bm25.query_terms_df(spark, qlist)
+        ).collect()
+    }
+    vals = sorted(est.values())
+    threshold = vals[len(vals) // 2]  # median -> both sides non-empty
+    out, plan = dispatch_top_k(
+        spark, blocks, idx.corpus_stats, qlist, k=K, crossover_rows=threshold
+    )
+    assert plan["path"] == "split", plan
+    assert plan["n_wand"] == sum(1 for v in est.values() if v >= threshold)
+    assert plan["n_wand"] + plan["n_brute"] == len(qlist)
+    terms = bm25.query_terms_df(spark, qlist)
+    brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
+    auto = _collect_ranked(out.collect())
+    assert set(brute) == set(auto)
+    for qid in brute:
+        assert [d for d, _ in brute[qid]] == [d for d, _ in auto[qid]], f"q{qid}"
+        for (_, sb), (_, sp) in zip(brute[qid], auto[qid]):
+            assert math.isclose(sb, sp, rel_tol=1e-9)

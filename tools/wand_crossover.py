@@ -158,6 +158,72 @@ def sweep(n_docs: int, runs: int, ks: list[int], qlens: list[int]) -> None:
     print(json.dumps({"sweep_cells": len(cells), "out": out_path}))
 
 
+def mixed(n_docs: int, runs: int, k: int = 10) -> None:
+    """VERDICT r4 #5 proof cell: a 50/50 batch of 1-term and 5-term queries
+    at a corpus size where the two halves sit on OPPOSITE sides of the
+    decode-volume crossover. Times three routes on the same stored index:
+    forced brute-stored, forced WAND, and dispatch_top_k's per-query split —
+    the split must beat both single-path routes (each single path pays the
+    losing side on half the batch). Rank-identity asserted across all three.
+    Writes BENCH/WAND_MIXED.json."""
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.storage import StoredIndex
+    from goldenretriever_spark.query.wand import (
+        brute_top_k_stored,
+        dispatch_top_k,
+        wand_top_k,
+    )
+    from goldenretriever_spark.session import get_spark
+
+    spark = get_spark("gr-wand-mixed", cores=32, shuffle_partitions=32)
+    idx_path = ensure_index(spark, n_docs)
+    stored = StoredIndex(spark, idx_path)
+    nb = stored.n_term_buckets
+    blocks, cstats = stored.posting_blocks, stored.corpus_stats
+
+    q1 = corpus.fixed_length_queries(25, n_terms=1, seed=42)
+    q5 = corpus.fixed_length_queries(25, n_terms=5, seed=42)
+    qlist = [(int(r.query_id), r.query_str) for r in q1.itertuples()] + [
+        (100 + int(r.query_id), r.query_str) for r in q5.itertuples()
+    ]
+
+    t_brute, r_brute = _time_best(
+        lambda: brute_top_k_stored(spark, blocks, cstats, qlist, k=k,
+                                   n_term_buckets=nb), runs)
+    t_wand, r_wand = _time_best(
+        lambda: wand_top_k(spark, blocks, cstats, qlist, k=k,
+                           n_term_buckets=nb), runs)
+    plan_box = {}
+
+    def run_split():
+        out, plan = dispatch_top_k(
+            spark, blocks, cstats, qlist, k=k, n_term_buckets=nb
+        )
+        plan_box.clear()
+        plan_box.update(plan)
+        return out
+
+    t_split, r_split = _time_best(run_split, runs)
+    assert _rank_key(r_brute) == _rank_key(r_wand) == _rank_key(r_split)
+    cell = {
+        "n_docs": n_docs, "k": k, "runs": runs,
+        "batch": "25x1-term + 25x5-term",
+        "forced_brute_stored_sec": round(t_brute, 2),
+        "forced_wand_sec": round(t_wand, 2),
+        "split_auto_sec": round(t_split, 2),
+        "split_vs_brute": round(t_brute / t_split, 2),
+        "split_vs_wand": round(t_wand / t_split, 2),
+        "split_beats_both": t_split < t_brute and t_split < t_wand,
+        "dispatch": dict(plan_box),
+        "rank_identical": True,
+    }
+    print(json.dumps(cell), flush=True)
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH", "WAND_MIXED.json")
+    with open(out_path, "w") as f:
+        json.dump(cell, f, indent=2)
+
+
 def main() -> None:
     from goldenretriever_spark import corpus
     from goldenretriever_spark.index.storage import StoredIndex
@@ -179,6 +245,9 @@ def main() -> None:
             qlens = [int(x) for x in a.split("=", 1)[1].split(",")]
     if "--sweep" in sys.argv:
         sweep(sizes[0], runs, ks, qlens)
+        return
+    if "--mixed" in sys.argv:
+        mixed(sizes[0], runs, k)
         return
 
     spark = get_spark("gr-wand-crossover", cores=32, shuffle_partitions=32)
