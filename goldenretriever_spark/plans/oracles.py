@@ -356,6 +356,43 @@ SELECT query_id, vec_id, cosine_q, rnk FROM (
 """
 
 
+def _ann_ivf_trained_sql(n_probe: int = 2) -> str:
+    """Trained-IVF SERVING twin (VERDICT r4 #4): the k-means training loop
+    has no SQL twin, but its OUTPUT does — the pinned sf0.01 codebook
+    (operators/ivf_codebook.py, provenance in its docstring) ships as
+    centroid literals, the same pattern as hyperplanes(). The probe +
+    re-rank math therefore gets a full hash check; only the training loop
+    stays pytest-covered."""
+    from goldenretriever_spark.operators.ivf_codebook import CODEBOOK_SF001
+
+    cent_rows = ",\n  ".join(
+        f"({i}, {row!r}::DOUBLE[])" for i, row in enumerate(CODEBOOK_SF001)
+    )
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings ORDER BY vec_id LIMIT 5),
+cent(centroid_id, cvec) AS (VALUES
+  {cent_rows}),
+assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cosq("e.embedding", "c.cvec")} DESC, c.centroid_id ASC) AS arnk
+    FROM embeddings e CROSS JOIN cent c) WHERE arnk = 1),
+probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT q.query_id, q.qvec, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_cosq("q.qvec", "c.cvec")} DESC, c.centroid_id ASC) AS prnk
+    FROM q CROSS JOIN cent c) WHERE prnk <= {n_probe}),
+scored AS (
+  SELECT p.query_id, a.vec_id, {_cosq("p.qvec", "a.embedding")} AS cosine_q
+  FROM probes p JOIN assign a USING (centroid_id))
+SELECT query_id, vec_id, cosine_q, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine_q DESC, vec_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
 def ann_oracles() -> dict[str, str]:
     from goldenretriever_spark.operators.ann import hyperplanes
 
@@ -365,6 +402,7 @@ def ann_oracles() -> dict[str, str]:
         "ann_lsh_multiprobe": _ann_scored_sql("multiprobe", hyperplanes()),
         "ann_lsh_multitable": _ann_multitable_sql(4),
         "ann_ivf_topk": _ann_ivf_sql(8, 2),
+        "ann_ivf_trained_topk": _ann_ivf_trained_sql(2),
     }
 
 

@@ -72,30 +72,10 @@ def _clustered_section(spark, ann, k: int, n_queries: int, n: int = 2000) -> dic
     ):
         got = _topk_sets(ann.ivf_topk(e, q, cent, k=k, n_probe=n_probe).collect())
         recalls = [len(got.get(qq, set()) & t) / k for qq, t in truth.items()]
-        # measured candidate fraction: probed-list mass / (n_queries * n)
-        w_assign = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-        sizes = (
-            e.crossJoin(F.broadcast(cent))
-            .withColumn(
-                "csim",
-                F.round(ann.cosine_col(F.col("embedding"), F.col("cvec")) * 10000).cast("long"),
-            )
-            .withColumn("arnk", F.row_number().over(w_assign))
-            .filter(F.col("arnk") == 1)
-            .groupBy("centroid_id").count()
-        )
-        w_probe = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("centroid_id"))
-        probed = (
-            q.crossJoin(F.broadcast(cent))
-            .withColumn(
-                "csim",
-                F.round(ann.cosine_col(F.col("qvec"), F.col("cvec")) * 10000).cast("long"),
-            )
-            .withColumn("prnk", F.row_number().over(w_probe))
-            .filter(F.col("prnk") <= n_probe)
-            .join(sizes, "centroid_id")
-            .agg(F.sum("count")).collect()[0][0]
-        )
+        # measured candidate fraction via the operator's OWN assignment/probe
+        # expressions (shared helper — ADVICE r4: no inline re-implementation
+        # that could drift from the query)
+        probed = ann.ivf_probed_candidates(e, q, cent, n_probe=n_probe)
         section[name] = {
             "recall_at_k": round(sum(recalls) / len(recalls), 4),
             "measured_candidate_fraction": round(float(probed) / (n_queries * n), 4),
@@ -156,44 +136,15 @@ def main() -> None:
     }
 
     def _ivf_measured_fraction(cent_df) -> float:
-        """Actual candidate fraction = Σ probed-list sizes / (n_queries·N)."""
-        from pyspark.sql import Window
-        from pyspark.sql import functions as F
+        """Actual candidate fraction = Σ probed-list sizes / (n_queries·N),
+        computed by the operator's shared ivf_assign/ivf_probes helper."""
+        from goldenretriever_spark.operators.ann import _emb, _query_vectors
 
-        from goldenretriever_spark.operators.ann import (
-            _emb,
-            _query_vectors,
-            cosine_col,
-        )
-
-        e = _emb(spark, sf_dir)
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.desc("csim"), F.asc("centroid_id")
-        )
-        sizes = (
-            e.crossJoin(F.broadcast(cent_df))
-            .withColumn(
-                "csim",
-                F.round(cosine_col(F.col("embedding"), F.col("cvec")) * 10000).cast("long"),
-            )
-            .withColumn("arnk", F.row_number().over(w_assign))
-            .filter(F.col("arnk") == 1)
-            .groupBy("centroid_id").count()
-        )
-        w_probe = Window.partitionBy("query_id").orderBy(
-            F.desc("csim"), F.asc("centroid_id")
-        )
-        probed = (
-            _query_vectors(spark, sf_dir, n_queries)
-            .crossJoin(F.broadcast(cent_df))
-            .withColumn(
-                "csim",
-                F.round(cosine_col(F.col("qvec"), F.col("cvec")) * 10000).cast("long"),
-            )
-            .withColumn("prnk", F.row_number().over(w_probe))
-            .filter(F.col("prnk") <= 2)
-            .join(sizes, "centroid_id")
-            .agg(F.sum("count")).collect()[0][0]
+        probed = ann.ivf_probed_candidates(
+            _emb(spark, sf_dir),
+            _query_vectors(spark, sf_dir, n_queries),
+            cent_df,
+            n_probe=2,
         )
         return float(probed) / (n_queries * n_emb)
     out = {"sf_dir": sf_dir, "k": k, "n_queries": n_queries, "n_embeddings": n_emb,
