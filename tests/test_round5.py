@@ -1,0 +1,130 @@
+"""Round-5 coverage: pinned trained-IVF codebook (oracle drift guard),
+large-star/small-star connected components vs pointer doubling, and the
+non-convergence guard ADVICE r4 asked for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# trained-IVF codebook pin (VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+
+def test_trained_codebook_matches_pinned(spark):
+    """The sf0.01 k-means training must reproduce the literals the DuckDB
+    oracle for ann_ivf_trained_topk was generated from — if this drifts
+    (data change, algorithm change, nondeterminism), the contract row would
+    hash-mismatch, and this test points at why."""
+    from goldenretriever_spark.operators.ann import train_centroids_kmeans
+    from goldenretriever_spark.operators.ivf_codebook import CODEBOOK_SF001
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cb = train_centroids_kmeans(emb, n_centroids=8, iters=3, seed=42)
+    assert cb == CODEBOOK_SF001
+
+
+# ---------------------------------------------------------------------------
+# connected components: star alternation vs pointer doubling (VERDICT r4 #6)
+# ---------------------------------------------------------------------------
+
+def _components(df):
+    return {(r["id"], r["component"]) for r in df.collect()}
+
+
+def _random_edges(spark, n_nodes=200, n_edges=300, seed=17):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pairs = rng.integers(0, n_nodes, size=(n_edges, 2)).tolist()
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+
+
+def _chain_edges(spark, n=400):
+    """Adversarial long chain: diameter n-1, the worst case for plain
+    neighbor propagation and a giant single component funneling every label
+    through one value — the skew case the star variant is for."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+
+
+@pytest.mark.parametrize("graph", ["random", "chain"])
+def test_star_equals_pointer_doubling(spark, graph):
+    from goldenretriever_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        _random_edges(spark) if graph == "random" else _chain_edges(spark)
+    )
+    pd_out = _components(connected_components(edges, max_iter=40))
+    star_out = _components(connected_components_star(edges, max_iter=60))
+    assert pd_out == star_out
+    # every label is the component minimum: no label exceeds its node id's
+    # reachable min — spot-check the chain collapses to a single 0 component
+    if graph == "chain":
+        assert {c for _, c in star_out} == {0}
+
+
+def test_star_handles_self_loops_and_duplicates(spark):
+    from goldenretriever_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 1), (2, 3), (7, 8), (8, 7), (9, 9)],
+        "doc_a long, doc_b long",
+    )
+    star_out = _components(connected_components_star(edges))
+    pd_out = _components(connected_components(edges))
+    # the star variant drops self-loops up front (a self-loop-only node has
+    # no component peers); compare on the star variant's node set
+    star_nodes = {i for i, _ in star_out}
+    assert {(i, c) for i, c in pd_out if i in star_nodes} == star_out
+    assert star_out == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+
+def test_nonconvergence_raises_and_warns(spark):
+    """ADVICE r4: exhausting max_iter must not silently return wrong labels
+    — strict (default) raises, strict=False warns and returns partials."""
+    from goldenretriever_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = _chain_edges(spark, n=60)  # needs ~log2(60) ≈ 6 doubling rounds
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        out = connected_components(chain, max_iter=1, strict=False)
+        assert out.count() == 61  # partial labels still one row per node
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(chain, max_iter=1)
+
+
+# ---------------------------------------------------------------------------
+# file-format source query (VERDICT r4 #7): deterministic expected rows
+# ---------------------------------------------------------------------------
+
+def test_src_parse_files_expected_rows(spark):
+    """The fixture parse is fully deterministic — pin the exact flattened
+    rows (cutoff drops the 7th CSV row, 'nan' query dropped, duplicate QA
+    row dedupes, body-less TXT clause dropped)."""
+    import __spark_entry__ as E
+
+    rows = {
+        (r["kb_name"], r["query_id"], r["response_id"], r["query_string"])
+        for r in E._src_parse_files(spark, "unused").collect()
+    }
+    assert rows == {
+        ("csvkb", 1, 3, "how to sort"),   # merge sort
+        ("csvkb", 1, 2, "how to sort"),   # quicksort
+        ("csvkb", 0, 1, "how to join"),   # hash join (deduped)
+        ("csvkb", 2, 0, "what is bm25"),
+        ("txtkb", 1, 0, "what is a heap"),
+        ("txtkb", 0, 1, "how to hash"),
+    }
