@@ -338,6 +338,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """Near-dup pairs -> dup CLUSTERS: (id, component) with component = the
     minimum id reachable through the undirected edge set — the step a real
@@ -355,8 +356,18 @@ def connected_components(
     ``localCheckpoint`` truncates lineage so round N's plan does not replay
     rounds 1..N-1. Labels only decrease and are bounded below by the
     component min, so the fixpoint is exact; iteration stops at the first
-    unchanged round (converged flag asserted in tests, max_iter is a
-    backstop only).
+    unchanged round. If ``max_iter`` is exhausted first the labels are NOT
+    the fixpoint, and silently returning them would be wrong (ADVICE r4) —
+    ``strict=True`` (default) raises; ``strict=False`` warns and returns
+    the partial labels for callers that explicitly accept approximation.
+
+    Skew note: the label-of-label join keys on ``label``, which concentrates
+    on few values once components grow; AQE skew-join splitting handles it
+    at this round count, and :func:`connected_components_star` is the
+    alternating large-star/small-star formulation (Kiveris et al. 2014)
+    whose min-aggregations partial-combine map-side — the preferred shape
+    for giant-component graphs at extreme scale (fixpoint cross-checked
+    between the two in tests/test_round5.py).
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -367,6 +378,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             sym.join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "nl"), "b")
@@ -400,8 +412,129 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; labels are NOT component minima"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select("id", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+    strict: bool = True,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — same (id, component=min reachable id) output and
+    fixpoint as :func:`connected_components`, different scaling shape:
+
+    - large-star: every node u links each STRICTLY LARGER neighbor to
+      m(u) = min of u's closed neighborhood;
+    - small-star: with edges oriented large->small, every node u links its
+      (all smaller) neighbors and itself to their minimum.
+
+    Both steps are a groupBy-min (map-side partial aggregation — a giant
+    component's root neighborhood combines locally before any shuffle, the
+    skew the pointer-doubling label join cannot pre-combine) followed by an
+    equi-join back to the edge list. Edges monotonically point downward and
+    the potential function of Kiveris et al. guarantees O(log^2 n) rounds;
+    at the fixpoint the edge set is exactly the star forest
+    (node -> component min). Convergence is detected by the
+    (count, hash-sum) signature of the edge set being stable across one
+    L+S round pair; ``strict`` as in :func:`connected_components`.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    nodes = (
+        sym.select(F.col("a").alias("id"))
+        .unionByName(sym.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # canonical large->small orientation, deduped
+    e = (
+        sym.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        # order-insensitive set digest: count + XOR of row hashes (xor, not
+        # sum — summing full-range xxhash64 longs overflows under ANSI mode;
+        # xor cannot, and the edge set is distinct so no pair self-cancels)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        und = df.unionByName(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = und.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        return (
+            und.join(m, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # df is large->small oriented: all neighbors of key a are < a
+        m = df.groupBy("a").agg(F.min("b").alias("m"))
+        linked = df.join(m, "a")
+        out = (
+            linked.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(linked.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return out
+
+    sig = signature(e)
+    converged = False
+    for _ in range(max_iter):
+        e = large_star(e).localCheckpoint(eager=True)
+        e = small_star(e).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        msg = (
+            f"connected_components_star did not converge within max_iter={max_iter} "
+            "round pairs; edge set is not yet a star forest"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # star forest -> labels; isolated-from-rewrite roots label themselves
+    mapping = e.groupBy("a").agg(F.min("b").alias("component")).withColumnRenamed(
+        "a", "id"
+    )
+    return nodes.join(mapping, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
+    )
 
 
 def q_dedup_components(spark: SparkSession, sf_dir: str, max_hamming: int = 1) -> DataFrame:

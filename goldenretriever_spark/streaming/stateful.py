@@ -54,7 +54,17 @@ def _make_dedupe_group(ttl_ms: int | None, arm_timers: bool = False):
     digest's expiry (processing time); without, a -1 sentinel (seen forever).
     ``arm_timers`` additionally registers a per-key ProcessingTimeTimeout so
     idle expired digests are EVICTED (continuous mode only — see module
-    docstring for why timers cannot run under availableNow)."""
+    docstring for why timers cannot run under availableNow).
+
+    Clock caveat (ADVICE r4): "now" is the EXECUTOR's wall clock
+    (``time.time()`` inside the group fn), so TTL expiry is processing-time
+    semantics as seen by whichever executor drains the group — clock skew
+    between executors (or between micro-batches of one drain) can shift
+    re-emission near the TTL boundary by the skew amount. That is the
+    standard contract for processing-time state TTL (Spark's own
+    ProcessingTimeTimeout uses the batch-start clock); if exactness at the
+    boundary matters, derive expiry from an event-time watermark column
+    instead (the windowed module shows the watermark pattern)."""
 
     def fn(key, pdf_iter, state):
         import time
