@@ -107,14 +107,30 @@ class StoredIndex:
             return None
         return int(rows[0]["n_term_buckets"]) if rows else None
 
-    def search(self, queries, k: int = 10, tokenizer: str = "simple") -> DataFrame:
+    def search(
+        self,
+        queries,
+        k: int = 10,
+        tokenizer: str = "simple",
+        documents: DataFrame | None = None,
+        with_plan: bool = False,
+    ):
         """Top-k over this stored index with measured brute/WAND dispatch and
         the persisted term-bucket count for partition pruning — the one-call
         serving path (reference models.py:114-149 analog on the compressed
-        index)."""
-        from goldenretriever_spark.query.wand import top_k_auto
+        index; mixed batches split per query).
 
-        return top_k_auto(
+        ``documents``: optional (doc_id, ...) table; when given, the ranked
+        ids are joined back so results carry materialized content (the
+        reference's ``make_query`` returns answer STRINGS, models.py:137-149).
+        The ranked frame is tiny (n_queries x k), so it broadcasts and the
+        join is a single streaming pass over the doc table — on a real
+        warehouse, bucket/partition the doc table by doc_id so this becomes
+        a pruned point-lookup scan instead. ``with_plan=True`` also returns
+        the dispatch record (tools/serve_demo.py logs it)."""
+        from goldenretriever_spark.query.wand import dispatch_top_k
+
+        ranked, plan = dispatch_top_k(
             self.spark,
             self.posting_blocks,
             self.corpus_stats,
@@ -123,6 +139,15 @@ class StoredIndex:
             tokenizer=tokenizer,
             n_term_buckets=self.n_term_buckets,
         )
+        if documents is not None:
+            ranked = (
+                documents.join(F.broadcast(ranked), "doc_id")
+                .select(
+                    "query_id", "doc_id", "score", "rank",
+                    *[c for c in documents.columns if c != "doc_id"],
+                )
+            )
+        return (ranked, plan) if with_plan else ranked
 
 
 def write_bucketed(
