@@ -193,6 +193,7 @@ def dispatch_top_k(
     seed_factor: int = 4,
     n_term_buckets: int | None = None,
     crossover_rows: int | None = None,
+    split: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Top-k over the stored index with brute-stored vs WAND auto-dispatch.
 
@@ -201,14 +202,22 @@ def dispatch_top_k(
 
     Both paths answer from the same compressed blocks and are rank-identical
     (tests/test_wand.py); the ONLY difference is whether the θ-pruning
-    machinery pays for itself. The dispatch signal is the PER-QUERY estimated
-    decode volume (Σ df over the query's terms, from the blocks metadata)
-    against the measured ``WAND_CROSSOVER_DECODE_ROWS`` — a mixed batch is
-    SPLIT: queries whose estimated volume clears the crossover run WAND,
-    the rest run brute-stored, and the two result sets union (per-query
-    routing means a batch mixing 1-term and 5-term queries no longer pays
-    the wrong path on half its members). Threshold overridable per call or
-    via $SPARK_GRAFT_WAND_CROSSOVER_ROWS.
+    machinery pays for itself. The dispatch signal is estimated decode
+    volume (Σ df over each query's terms, from the blocks metadata) against
+    the measured ``WAND_CROSSOVER_DECODE_ROWS``; the batch routes as ONE
+    path by its mean, and the plan records the per-query verdict counts
+    (``n_above``/``n_below``) as diagnostics. Threshold overridable per
+    call or via $SPARK_GRAFT_WAND_CROSSOVER_ROWS.
+
+    ``split=True`` instead routes EACH query to its own winning path and
+    unions the two results. Measured and rejected as the default
+    (BENCH/WAND_MIXED.json, 3.84 M docs): even on a designed 50/50
+    one-term/five-term batch the split ran 0.62-0.67× of EITHER forced
+    single path, because one-path batched execution amortizes the blocks
+    scan, decode and ranking machinery across the whole batch while the
+    split serializes two job sets — and WAND's penalty on the low-volume
+    half (0.87-0.97×) is far smaller than that amortization loss. Kept as
+    an explicit opt-in for re-measurement on other hosts/workloads.
 
     Fixed-overhead control on the hot serving row:
     - corpus_stats is collected ONCE here and handed to the routed path(s).
@@ -289,16 +298,17 @@ def dispatch_top_k(
         r["query_id"]: int(r["est_rows"])
         for r in estimate_decode_rows(pruned, qterms_all).collect()
     }
-    wand_ids = [q for q, v in est_rows.items() if v >= crossover_rows]
-    brute_ids = [q for q, v in est_rows.items() if v < crossover_rows]
+    above = [q for q, v in est_rows.items() if v >= crossover_rows]
+    below = [q for q, v in est_rows.items() if v < crossover_rows]
     vals = list(est_rows.values())
+    mean_rows = sum(vals) / len(vals) if vals else 0.0
     plan.update(
         {
             "probed": True,
-            "est_rows_mean": round(sum(vals) / len(vals)) if vals else 0,
+            "est_rows_mean": round(mean_rows),
             "est_rows_max": max(vals, default=0),
-            "n_wand": len(wand_ids),
-            "n_brute": len(brute_ids),
+            "n_above": len(above),
+            "n_below": len(below),
         }
     )
 
@@ -315,15 +325,18 @@ def dispatch_top_k(
             tokenizer=tokenizer, n_term_buckets=None, qterms=qt, stats=stats,
         )
 
-    if not brute_ids:
-        plan["path"] = "wand"
-        return run_wand(qterms_all), plan
-    if not wand_ids:
+    if not split or not above or not below:
+        # one path for the whole batch, routed by the batch mean — batched
+        # one-path execution amortizes scan/decode/rank machinery across
+        # every query (see the split docstring note for the measurement)
+        if mean_rows >= crossover_rows:
+            plan["path"] = "wand"
+            return run_wand(qterms_all), plan
         plan["path"] = "brute_stored"
         return run_brute(qterms_all), plan
     plan["path"] = "split"
-    wand_out = run_wand(qterms_all.filter(F.col("query_id").isin(wand_ids)))
-    brute_out = run_brute(qterms_all.filter(F.col("query_id").isin(brute_ids)))
+    wand_out = run_wand(qterms_all.filter(F.col("query_id").isin(above)))
+    brute_out = run_brute(qterms_all.filter(F.col("query_id").isin(below)))
     return wand_out.unionByName(brute_out), plan
 
 
@@ -338,6 +351,7 @@ def top_k_auto(
     n_term_buckets: int | None = None,
     crossover_rows: int | None = None,
     return_plan: bool = False,
+    split: bool = False,
 ) -> DataFrame:
     """Thin wrapper over :func:`dispatch_top_k` (which see for dispatch
     semantics). Returns the result frame; ``return_plan=True`` returns
@@ -346,7 +360,7 @@ def top_k_auto(
     out, plan = dispatch_top_k(
         spark, posting_blocks, corpus_stats, queries, k=k, tokenizer=tokenizer,
         seed_factor=seed_factor, n_term_buckets=n_term_buckets,
-        crossover_rows=crossover_rows,
+        crossover_rows=crossover_rows, split=split,
     )
     return (out, plan) if return_plan else out
 
