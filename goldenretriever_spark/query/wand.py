@@ -148,6 +148,17 @@ def brute_top_k_stored(
 # mildly (k=100: 0.95x vs 1.7x — same side of this threshold).
 WAND_CROSSOVER_DECODE_ROWS = 4_500_000
 
+# Batch routing signal: the SHARE of estimated decode volume sitting in
+# heavy queries (est >= crossover). From the measured cells at 3.84 M docs,
+# WAND gains ~45% of runtime on heavy volume (1.6-1.8x cells) and costs
+# ~10% on light volume (0.87-0.97x cells), so whole-batch WAND pays off
+# when heavy volume exceeds ~0.18 of the batch: s*0.45 - (1-s)*0.10 > 0.
+# The batch MEAN was the r4 signal and misroutes skewed batches — a 25/25
+# one-term/five-term mix has mean 3.9 M (< crossover -> brute, 87.7 s)
+# while forced WAND runs 50.0 s because the heavy half dominates runtime
+# (BENCH/WAND_MIXED.json). Overridable via $SPARK_GRAFT_WAND_HEAVY_SHARE.
+WAND_HEAVY_SHARE_MIN = 0.2
+
 
 def estimate_decode_rows(posting_blocks: DataFrame, qterms: DataFrame) -> DataFrame:
     """Per-query estimated decode volume: Σ df over the query's distinct
@@ -203,11 +214,16 @@ def dispatch_top_k(
     Both paths answer from the same compressed blocks and are rank-identical
     (tests/test_wand.py); the ONLY difference is whether the θ-pruning
     machinery pays for itself. The dispatch signal is estimated decode
-    volume (Σ df over each query's terms, from the blocks metadata) against
-    the measured ``WAND_CROSSOVER_DECODE_ROWS``; the batch routes as ONE
-    path by its mean, and the plan records the per-query verdict counts
-    (``n_above``/``n_below``) as diagnostics. Threshold overridable per
-    call or via $SPARK_GRAFT_WAND_CROSSOVER_ROWS.
+    volume (Σ df over each query's terms, from the blocks metadata): a
+    query is HEAVY when its volume clears the measured
+    ``WAND_CROSSOVER_DECODE_ROWS``, and the whole batch routes to WAND
+    when the heavy queries hold at least ``WAND_HEAVY_SHARE_MIN`` of the
+    batch's total volume (see both constants' notes for the calibration;
+    heavy-dominated batches are where pruning pays, and the volume SHARE —
+    unlike the r4 batch mean — routes skewed mixes correctly). The plan
+    records mean/max volume, per-query above/below counts and the heavy
+    share. Thresholds overridable per call or via
+    $SPARK_GRAFT_WAND_CROSSOVER_ROWS / $SPARK_GRAFT_WAND_HEAVY_SHARE.
 
     ``split=True`` instead routes EACH query to its own winning path and
     unions the two results. Measured and rejected as the default
@@ -301,14 +317,21 @@ def dispatch_top_k(
     above = [q for q, v in est_rows.items() if v >= crossover_rows]
     below = [q for q, v in est_rows.items() if v < crossover_rows]
     vals = list(est_rows.values())
-    mean_rows = sum(vals) / len(vals) if vals else 0.0
+    total = sum(vals)
+    heavy = sum(est_rows[q] for q in above)
+    heavy_share = heavy / total if total else 0.0
+    share_min = float(
+        os.environ.get("SPARK_GRAFT_WAND_HEAVY_SHARE", WAND_HEAVY_SHARE_MIN)
+    )
     plan.update(
         {
             "probed": True,
-            "est_rows_mean": round(mean_rows),
+            "est_rows_mean": round(total / len(vals)) if vals else 0,
             "est_rows_max": max(vals, default=0),
             "n_above": len(above),
             "n_below": len(below),
+            "heavy_volume_share": round(heavy_share, 3),
+            "heavy_share_min": share_min,
         }
     )
 
@@ -326,10 +349,10 @@ def dispatch_top_k(
         )
 
     if not split or not above or not below:
-        # one path for the whole batch, routed by the batch mean — batched
-        # one-path execution amortizes scan/decode/rank machinery across
-        # every query (see the split docstring note for the measurement)
-        if mean_rows >= crossover_rows:
+        # one path for the whole batch, routed by heavy-volume share —
+        # batched one-path execution amortizes scan/decode/rank machinery
+        # across every query (see the split docstring for the measurement)
+        if heavy_share >= share_min:
             plan["path"] = "wand"
             return run_wand(qterms_all), plan
         plan["path"] = "brute_stored"

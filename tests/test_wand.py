@@ -141,7 +141,16 @@ def test_dispatch_is_volume_aware(built, spark):
         per_query[qlen] = rows
         mean_rows[qlen] = sum(rows.values()) / len(rows)
     assert mean_rows[1] < mean_rows[5]
-    threshold = int((mean_rows[1] + mean_rows[5]) / 2)
+    # threshold above EVERY 1-term volume (their heavy share must be 0 ->
+    # brute) and low enough that 5-term queries hold >= the min heavy share
+    # of their batch's volume (-> wand)
+    threshold = max(
+        max(per_query[1].values()) + 1, int((mean_rows[1] + mean_rows[5]) / 2)
+    )
+    share5 = sum(v for v in per_query[5].values() if v >= threshold) / sum(
+        per_query[5].values()
+    )
+    assert share5 >= 0.2, f"generator drift: 5-term heavy share {share5}"
 
     paths = {}
     for qlen, qlist in batches.items():
@@ -154,6 +163,10 @@ def test_dispatch_is_volume_aware(built, spark):
             want_above = sum(1 for v in per_query[qlen].values() if v >= threshold)
             assert plan["n_above"] == want_above, plan
             assert plan["n_above"] + plan["n_below"] == len(qlist)
+            want_share = sum(
+                v for v in per_query[qlen].values() if v >= threshold
+            ) / sum(per_query[qlen].values())
+            assert abs(plan["heavy_volume_share"] - want_share) < 1e-3, plan
         # whichever route: still rank-identical to brute force
         terms = bm25.query_terms_df(spark, qlist)
         brute = _collect_ranked(bm25.top_k(idx, terms, k=K).collect())
