@@ -34,6 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> None:
     from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.build import with_doc_ids
     from goldenretriever_spark.index.storage import StoredIndex
     from goldenretriever_spark.session import get_spark
     from tools.wand_crossover import ensure_index
@@ -48,9 +49,11 @@ def main() -> None:
     spark = get_spark("gr-serve-demo", cores=32, shuffle_partitions=32)
     idx_path = ensure_index(spark, n_docs)  # build+persist (cached across runs)
     stored = StoredIndex(spark, idx_path)
-    docs = spark.read.parquet(f"/tmp/gr_bench_corpus_{n_docs}.parquet").select(
-        "doc_id", "content"
-    )
+    # the raw corpus is input_hint-shaped (repo/path/commit/lang/content);
+    # attach the same deterministic doc_id the index build assigned
+    docs = with_doc_ids(
+        spark.read.parquet(f"/tmp/gr_bench_corpus_{n_docs}.parquet")
+    ).select("doc_id", "content")
 
     qset = corpus.reference_queries(50, seed=42)
     qlist = [(int(r.query_id), r.query_str) for r in qset.itertuples()]
