@@ -107,6 +107,42 @@ def test_nonconvergence_raises_and_warns(spark):
 
 
 # ---------------------------------------------------------------------------
+# serve loop: StoredIndex.search with content join-back (VERDICT r4 #8)
+# ---------------------------------------------------------------------------
+
+def test_stored_search_content_joinback(spark, tmp_path):
+    """search(documents=...) must return the SAME ranking as ranked-only
+    search plus the matching content string for every row (reference
+    make_query returns answer strings, models.py:137-149)."""
+    import hashlib
+
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index, with_doc_ids
+    from goldenretriever_spark.index.storage import StoredIndex, write_index
+
+    raw = spark.createDataFrame(corpus.synth_corpus_pandas(120, seed=23))
+    docs = with_doc_ids(raw).select("doc_id", "content")
+    idx = build_index(raw, tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=16, target_docs_per_group=50)
+    path = str(tmp_path / "idx")
+    write_index(idx, path, blocks=blocks, n_term_buckets=8)
+    stored = StoredIndex(spark, path)
+
+    qlist = [(0, "def return"), (1, "cache_buffer")]
+    ranked, plan = stored.search(qlist, k=5, with_plan=True)
+    ranked_rows = {(r["query_id"], r["rank"]): r["doc_id"] for r in ranked.collect()}
+    with_content = stored.search(qlist, k=5, documents=docs)
+    rows = with_content.collect()
+    assert {(r["query_id"], r["rank"]): r["doc_id"] for r in rows} == ranked_rows
+    truth = {r["doc_id"]: r["content"] for r in docs.collect()}
+    for r in rows:
+        assert r["content"] == truth[r["doc_id"]]
+        assert hashlib.sha256(r["content"].encode()).hexdigest()  # non-empty
+    assert plan["path"] in ("brute_stored", "wand")
+
+
+# ---------------------------------------------------------------------------
 # file-format source query (VERDICT r4 #7): deterministic expected rows
 # ---------------------------------------------------------------------------
 
