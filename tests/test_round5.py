@@ -164,3 +164,44 @@ def test_src_parse_files_expected_rows(spark):
         ("txtkb", 1, 0, "what is a heap"),
         ("txtkb", 0, 1, "how to hash"),
     }
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF fusion (beyond-parity; reference serves BM25 and Annoy cosine
+# separately — /root/reference/src/models.py make_query)
+# ---------------------------------------------------------------------------
+
+def test_rrf_fuse_semantics(spark):
+    """An item ranked by both legs outscores single-leg items; quantization
+    matches the closed form 1/(k0+r); ties break on doc_id ascending."""
+    from goldenretriever_spark.query.hybrid import RRF_K0, RRF_QUANT, rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    vec = spark.createDataFrame(
+        [(0, 11, 1), (0, 20, 2), (0, 21, 3)], "query_id long, doc_id long, rank int"
+    )
+    out = rrf_fuse([lex, vec], k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    # doc 11 appears in both legs (ranks 2 and 1) -> highest fused score
+    assert rows[11].rank == 1
+    assert rows[11].rrf_q == round((1 / (RRF_K0 + 2) + 1 / (RRF_K0 + 1)) * RRF_QUANT)
+    # single-leg items score exactly their one reciprocal
+    assert rows[10].rrf_q == round(1 / (RRF_K0 + 1) * RRF_QUANT)
+    # doc 10 (lex rank 1) and doc 20 (vec rank 2): equal-score tie is
+    # impossible here, but same-score doc ordering is doc_id asc — check via
+    # two docs with identical contribution: lex rank 3 (12) vs vec rank 3 (21)
+    assert rows[12].rrf_q == rows[21].rrf_q
+    assert rows[12].rank < rows[21].rank  # doc_id 12 < 21 wins the tie
+
+
+def test_rrf_fuse_respects_k(spark):
+    from goldenretriever_spark.query.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(0, d, d + 1) for d in range(8)], "query_id long, doc_id long, rank int"
+    )
+    out = rrf_fuse([lex], k=3)
+    assert out.count() == 3
+    assert [r.doc_id for r in out.orderBy("rank").collect()] == [0, 1, 2]
