@@ -205,3 +205,45 @@ def test_rrf_fuse_respects_k(spark):
     out = rrf_fuse([lex], k=3)
     assert out.count() == 3
     assert [r.doc_id for r in out.orderBy("rank").collect()] == [0, 1, 2]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_rrf_fuse_matches_python_reference(spark, seed):
+    """Randomized cross-check: rrf_fuse on arbitrary leg rankings equals a
+    pure-Python RRF computed from the same (query, doc, rank) triples —
+    scores (quantized) AND fused order, ties on doc_id ascending."""
+    import random
+
+    from goldenretriever_spark.query.hybrid import RRF_K0, RRF_QUANT, rrf_fuse
+
+    rng = random.Random(seed)
+    legs_py = []
+    for _ in range(3):  # three legs, 4 queries, ragged top lists
+        rows = []
+        for qid in range(4):
+            docs = rng.sample(range(30), rng.randint(0, 8))
+            rows += [(qid, d, r + 1) for r, d in enumerate(docs)]
+        legs_py.append(rows)
+
+    expected = {}
+    for rows in legs_py:
+        for qid, d, r in rows:
+            expected[(qid, d)] = expected.get((qid, d), 0.0) + 1.0 / (RRF_K0 + r)
+    exp_topk = {}
+    for qid in range(4):
+        items = sorted(
+            ((round(s * RRF_QUANT), d) for (q, d), s in expected.items() if q == qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        exp_topk[qid] = [(d, s, i + 1) for i, (s, d) in enumerate(items)]
+
+    legs = [
+        spark.createDataFrame(rows or [(99, 0, 1)], "query_id long, doc_id long, rank int")
+        for rows in legs_py
+    ]
+    got = rrf_fuse(legs, k=5)
+    got_topk = {}
+    for r in got.collect():
+        got_topk.setdefault(r.query_id, []).append((r.doc_id, r.rrf_q, r.rank))
+    for qid in range(4):
+        assert sorted(got_topk.get(qid, []), key=lambda t: t[2]) == exp_topk[qid]
