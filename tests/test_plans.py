@@ -141,3 +141,21 @@ def test_range_join_binned_is_equi_join(spark):
     # the residual filter, which the bins bound instead
     theta = left.alias("l").join(right.alias("r"), F.col("r.ts") <= F.col("l.ts"))
     assert "BroadcastNestedLoopJoin" in _plan(theta) or "CartesianProduct" in _plan(theta)
+
+
+def test_rrf_fuse_plan_two_shuffles_partial_combine(spark):
+    """The hybrid fusion plan must be: Union -> partial HashAggregate
+    (map-side combine of the reciprocal sums) -> ONE exchange on
+    (query_id, doc_id) -> final agg -> PARTIAL WindowGroupLimit (top-k
+    pruned before the second exchange) -> exchange on query_id -> final
+    limit + Window. Exactly two shuffles, both over candidate lists only —
+    never a third exchange or a missing map-side combine."""
+    from goldenretriever_spark.query.hybrid import rrf_fuse
+
+    lex = spark.createDataFrame([(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int")
+    vec = spark.createDataFrame([(0, 11, 1), (0, 20, 2)], "query_id long, doc_id long, rank int")
+    plan = _plan(rrf_fuse([lex, vec], k=10))
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_sum" in plan, "map-side combine missing from fusion agg"
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
