@@ -70,6 +70,16 @@ def main() -> None:
             dedup.q_embedding_neardup_pairs(spark, sf_dir),
         ),
         (
+            "Hybrid RRF fusion (BM25 leg + cosine leg)",
+            "Union of the two already-ranked legs -> partial HashAggregate "
+            "(map-side combine of the reciprocal sums) -> ONE Exchange on "
+            "(query_id, doc_id) -> final agg -> Partial WindowGroupLimit "
+            "prunes to top-k BEFORE the per-query Exchange -> final limit + "
+            "Window. Two shuffles total, both over candidate lists "
+            "(queries x k rows), never the corpus.",
+            None,  # built below: needs both legs constructed first
+        ),
+        (
             "ANN IVF (broadcast centroids, probe 2 lists)",
             "Centroid cross-joins are BroadcastNestedLoopJoin over a "
             "broadcast-hinted 8-row table (intended: assignment needs every "
@@ -87,6 +97,14 @@ def main() -> None:
         "user_id", "ts", F.col("event_id").alias("pid"), "value"
     )
     sections[2] = (sections[2][0], sections[2][1], as_of_join(clicks, purch, on=["user_id"]))
+
+    from goldenretriever_spark.query.hybrid import rrf_fuse
+
+    lex = bm25.top_k(idx, terms, k=10).select("query_id", "doc_id", "rank")
+    vec = ann.q_ann_brute_topk(spark, sf_dir, k=10, n_queries=2).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank")
+    )
+    sections[4] = (sections[4][0], sections[4][1], rrf_fuse([lex, vec], k=10))
 
     out = ["# BENCH/PLANS.md — formatted physical plans (captured by tools/capture_plans.py)\n"]
     for title, note, df in sections:
