@@ -149,6 +149,55 @@ class StoredIndex:
             )
         return (ranked, plan) if with_plan else ranked
 
+    def search_hybrid(
+        self,
+        queries,
+        query_vectors: DataFrame,
+        embeddings: DataFrame,
+        k: int = 10,
+        tokenizer: str = "simple",
+        centroids: DataFrame | None = None,
+        n_probe: int = 2,
+        documents: DataFrame | None = None,
+    ) -> DataFrame:
+        """One-call hybrid serve: the lexical stored-index top-k (with the
+        same brute/WAND dispatch as :meth:`search`) fused with a cosine
+        vector top-k by reciprocal-rank fusion (query/hybrid.rrf_fuse) — the
+        production move the reference's two SEPARATE endpoints (BM25-ish ES
+        text match vs Annoy cosine, models.py make_query) stop short of.
+
+        ``query_vectors``: (query_id, qvec) with query ids aligned to the
+        lexical batch; ``embeddings``: (vec_id, embedding) with vec_id in
+        the doc_id space. Vector leg: exact brute cosine when ``centroids``
+        is None (the exactness baseline); IVF-probed re-rank when a
+        (centroid_id, cvec) codebook is given — the 100 TB path, where only
+        n_probe inverted lists are scanned per query. Fusion itself adds no
+        shuffle beyond the legs' own plans (the fused agg reuses the legs'
+        partitioning — BENCH/PLANS.md 'Hybrid RRF fusion').
+
+        ``documents``: optional join-back, same broadcast pattern as search.
+        Returns (query_id, doc_id, rrf_q, rank [, doc columns])."""
+        from goldenretriever_spark.operators.ann import brute_topk, ivf_topk
+        from goldenretriever_spark.query.hybrid import rrf_fuse
+
+        lex = self.search(queries, k=k, tokenizer=tokenizer).select(
+            "query_id", "doc_id", "rank"
+        )
+        if centroids is None:
+            vec = brute_topk(embeddings, query_vectors, k=k)
+        else:
+            vec = ivf_topk(embeddings, query_vectors, centroids, k=k, n_probe=n_probe)
+        vec = vec.select(
+            "query_id", F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank")
+        )
+        fused = rrf_fuse([lex, vec], k=k)
+        if documents is not None:
+            fused = documents.join(F.broadcast(fused), "doc_id").select(
+                "query_id", "doc_id", "rrf_q", "rank",
+                *[c for c in documents.columns if c != "doc_id"],
+            )
+        return fused
+
 
 def write_bucketed(
     df: DataFrame,

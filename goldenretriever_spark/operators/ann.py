@@ -79,13 +79,13 @@ def _query_vectors(spark: SparkSession, sf_dir: str, n_queries: int = 5) -> Data
     )
 
 
-def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5) -> DataFrame:
-    """Exact cosine top-k per query vector (self-queries rank first with
-    cosine=1 — kept, as the reference's Annoy index also returns the item
-    itself)."""
-    e = _emb(spark, sf_dir)
-    q = _query_vectors(spark, sf_dir, n_queries)
-    scored = q.crossJoin(e).select(
+def brute_topk(emb: DataFrame, qvecs: DataFrame, k: int = 5) -> DataFrame:
+    """Frame-level exact cosine top-k: every (query, vector) pair scored —
+    the deliberate exactness baseline (crossJoin by design; the query side
+    is tiny and broadcasts). emb: (vec_id, embedding); qvecs: (query_id,
+    qvec). Self-queries rank first with cosine=1 — kept, as the reference's
+    Annoy index also returns the item itself."""
+    scored = qvecs.crossJoin(emb).select(
         "query_id",
         "vec_id",
         F.round(cosine_col(F.col("qvec"), F.col("embedding")) * 10000).cast("long").alias(
@@ -98,6 +98,11 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: in
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine_q", "rnk")
     )
+
+
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5) -> DataFrame:
+    """Exact cosine top-k per query vector over the driver embeddings table."""
+    return brute_topk(_emb(spark, sf_dir), _query_vectors(spark, sf_dir, n_queries), k=k)
 
 
 def q_ann_lsh_multiprobe(
