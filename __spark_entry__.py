@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
@@ -269,6 +270,30 @@ def _term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goldenretriever_spark.index.build import build_index
 
     return build_index(_documents(spark, sf_dir), tokenizer="simple").term_stats
+
+
+# Fixed phrase queries for the positional-index contract row: one bigram,
+# one trigram, both present in the driver corpus vocabulary.
+PHRASE_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["table", "hash"]),
+    (2, ["slow", "hash", "batch"]),
+]
+
+
+def _ir_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search via positional postings (query/phrase.py): for
+    each fixed phrase, the docs containing the consecutive token sequence
+    plus the (overlapping) occurrence count."""
+    from goldenretriever_spark.query.phrase import phrase_match
+
+    docs = _documents(spark, sf_dir)
+    outs = [
+        phrase_match(docs, ph, text_col="content").select(
+            F.lit(pid).cast("long").alias("phrase_id"), "doc_id", "occurrences"
+        )
+        for pid, ph in PHRASE_QUERIES
+    ]
+    return reduce(DataFrame.unionByName, outs)
 
 
 def _kb_build_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -738,13 +763,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering note (VERDICT r4 #2): the driver grades the FIRST 50 entries.
     Every operator FAMILY must land inside that window, so the four
     sink/stream queries and the file-format source query sit before the cap
-    and five redundant variants of already-graded families sit after it:
+    and redundant variants of already-graded families sit after it:
     ann_lsh_multiprobe / ann_lsh_multitable (the lsh_topk family is graded),
     ann_ivf_topk (the trained variant is the stricter superset and is
     graded), rel_asof_join (the nulls variant is the stricter superset and
     is graded), dedup_simhash + dedup_minhash_signatures (their signatures
-    are implied by the graded pairs queries). The past-cap six remain fully
-    implemented, oracle-backed and pytest-run."""
+    are implied by the graded pairs queries), and — displaced in r5 to make
+    room for ir_phrase_match + txt_quality_filter — rel_window_running and
+    rel_pivot (generic beyond-parity relational demos; the window family
+    keeps rel_window_rank graded, percentiles/rollup keep grouping-sets
+    graded). The past-cap entries remain fully implemented, oracle-backed
+    and pytest-run."""
     from goldenretriever_spark.operators import ann, dedup, relational, split, textstats
 
     return {
@@ -756,6 +785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_doc_stats_sha256": _doc_stats,
         "ir_corpus_stats": _corpus_stats,
         "ir_term_df": _term_df,
+        # positional-index phrase search (fulltext beyond-parity, r5)
+        "ir_phrase_match": _ir_phrase_match,
         # --- sources + sinks + streaming (SURVEY §2.1 S1-S4, S9-S11, §2.9) ---
         "src_parse_files": _src_parse_files,
         "sink_querylog_feedback": _sink_querylog_feedback,
@@ -767,7 +798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_join_topk": relational.q_join_topk,
         "rel_rollup_metrics": relational.q_rollup_metrics,
         "rel_window_rank": relational.q_window_rank,
-        "rel_window_running": relational.q_window_running,
         "rel_semi_join": relational.q_semi_join,
         "rel_anti_join": relational.q_anti_join,
         "rel_dense_rank_ids": relational.q_dense_rank_ids,
@@ -778,11 +808,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join_nulls": _rel_asof_join_nulls,
         "rel_session_windows": _rel_session_windows,
         "rel_percentiles": _rel_percentiles,
-        "rel_pivot": _rel_pivot,
         "rel_range_join": _rel_range_join,
         # --- text analysis (training-data ops) ---
         "txt_token_count": textstats.q_token_count,
         "txt_quality_score": textstats.q_quality_score,
+        # Gopher-rule conjunctive keep/drop gate (r5)
+        "txt_quality_filter": textstats.q_quality_filter,
         "txt_lang_id": textstats.q_lang_id,
         "txt_fingerprint": textstats.q_fingerprint,
         # --- deduplication (training-data ops) ---
@@ -811,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _media_decode,
         # ---------------- 50-entry grading cap falls here ----------------
         # redundant variants of families already graded above (see docstring)
+        "rel_window_running": relational.q_window_running,
+        "rel_pivot": _rel_pivot,
         "ann_ivf_topk": ann.q_ann_ivf_topk,
         "rel_asof_join": _rel_asof_join,
         "ann_lsh_multiprobe": ann.q_ann_lsh_multiprobe,
@@ -965,6 +998,31 @@ FROM b
 """
 
 
+def _phrase_match_sql() -> str:
+    """Exact sliding-window phrase-occurrence twin, generated from
+    PHRASE_QUERIES so both engines share one phrase definition. Counts
+    OVERLAPPING occurrences (list-slice equality at every start), matching
+    query/phrase.py semantics."""
+    arms = []
+    for pid, ph in PHRASE_QUERIES:
+        n = len(ph)
+        lit = "[" + ", ".join(f"'{t}'" for t in ph) + "]"
+        arms.append(
+            f"SELECT CAST({pid} AS BIGINT) AS phrase_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(tk) - {n} + 2), "
+            f"s -> tk[s:s+{n - 1}] = {lit})) AS BIGINT) AS occurrences FROM tkd"
+        )
+    union = "\n  UNION ALL\n  ".join(arms)
+    return f"""
+WITH tkd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '{_WS}'), x -> x <> '') AS tk
+  FROM documents)
+SELECT * FROM (
+  {union})
+WHERE occurrences > 0
+"""
+
+
 def _ir_oracles() -> dict[str, str]:
     return {
         "src_parse_files": _src_parse_files_sql(),
@@ -1116,4 +1174,5 @@ WITH {_TOKS_CTE}
 SELECT n_docs, CAST(round(avgdl * 10000) AS BIGINT) AS avgdl_q FROM corpus
 """,
         "ir_term_df": f"WITH {_TOKS_CTE} SELECT term, df FROM term_stats",
+        "ir_phrase_match": _phrase_match_sql(),
     }

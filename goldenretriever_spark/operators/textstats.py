@@ -120,3 +120,54 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("md5"),
         F.array_min(shingles).alias("min_shingle_fp"),
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1 — adapted to
+# this corpus's scale: token-count band, mean-word-length band, symbol
+# ratio, stopword evidence). All pure column arithmetic.
+QF_MIN_TOKENS, QF_MAX_TOKENS = 5, 5000
+QF_MIN_AVG_TOK, QF_MAX_AVG_TOK = 2.0, 12.0
+QF_MAX_SYMBOL_RATIO = 0.2
+QF_STOPWORDS = ["the", "a", "and", "of"]
+QF_MIN_STOPWORD_HITS = 1
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality FILTER (Gopher rules): per-doc boolean
+    flags for each rule plus the conjunctive keep decision. Unlike
+    q_quality_score (a ranking signal) this is the pipeline gate that
+    decides which documents enter a training corpus; flags are kept as
+    columns so drop REASONS are auditable at 100 TB (one pass, codegen)."""
+    d = _docs(spark, sf_dir)
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), SIMPLE_SPLIT_RE),
+        lambda x: x != F.lit(""),
+    )
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_space = F.length(F.regexp_replace("text", r"[^ ]", "")).cast("double")
+    n_sym = F.length(F.regexp_replace("text", r"[A-Za-z0-9 \t\n]", "")).cast("double")
+    avg_tok = F.when(n_tokens > 0, (n_chars - n_space) / n_tokens).otherwise(F.lit(0.0))
+    # distinct stopword hits, counted over the fixed marker list (same
+    # DuckDB-identical formulation as q_lang_id)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in QF_STOPWORDS]),
+            lambda m: F.array_contains(toks, m),
+        )
+    )
+    f_len = (n_tokens >= QF_MIN_TOKENS) & (n_tokens <= QF_MAX_TOKENS)
+    f_avg = (avg_tok >= QF_MIN_AVG_TOK) & (avg_tok <= QF_MAX_AVG_TOK)
+    f_sym = F.when(n_chars > 0, n_sym / n_chars <= QF_MAX_SYMBOL_RATIO).otherwise(
+        F.lit(False)
+    )
+    f_stop = stop_hits >= QF_MIN_STOPWORD_HITS
+    return d.select(
+        "doc_id",
+        f_len.cast("long").alias("pass_len"),
+        f_avg.cast("long").alias("pass_avg_tok"),
+        f_sym.cast("long").alias("pass_symbol"),
+        f_stop.cast("long").alias("pass_stopword"),
+        (f_len & f_avg & f_sym & f_stop).cast("long").alias("kept"),
+    )

@@ -137,6 +137,28 @@ SELECT doc_id, md5(text) AS md5,
                 i -> md5(array_to_string(list_slice(toks, i+1, i+3), ' ')))) AS min_shingle_fp
 FROM t
 """,
+    # Gopher-rule keep/drop gate — thresholds mirror textstats.QF_* exactly
+    "txt_quality_filter": f"""
+WITH q AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE AS n_space,
+         length(regexp_replace(text, '[A-Za-z0-9 \\t\\n]', '', 'g'))::DOUBLE AS n_sym,
+         {NTOK}::DOUBLE AS n_tokens,
+         len(list_filter(['the','a','and','of'], m -> list_contains({TOKS}, m)))::BIGINT AS stop_hits
+  FROM documents),
+q2 AS (SELECT *, CASE WHEN n_tokens > 0 THEN (n_chars-n_space)/n_tokens ELSE 0.0 END AS avg_tok FROM q),
+f AS (SELECT doc_id,
+             (n_tokens >= 5 AND n_tokens <= 5000) AS f_len,
+             (avg_tok >= 2.0 AND avg_tok <= 12.0) AS f_avg,
+             (CASE WHEN n_chars > 0 THEN n_sym/n_chars <= 0.2 ELSE FALSE END) AS f_sym,
+             (stop_hits >= 1) AS f_stop
+      FROM q2)
+SELECT doc_id, f_len::BIGINT AS pass_len, f_avg::BIGINT AS pass_avg_tok,
+       f_sym::BIGINT AS pass_symbol, f_stop::BIGINT AS pass_stopword,
+       (f_len AND f_avg AND f_sym AND f_stop)::BIGINT AS kept
+FROM f
+""",
 }
 
 

@@ -1,0 +1,131 @@
+"""Phrase search over a positional index — exact n-gram occurrence matching.
+
+A full-text engine needs more than bag-of-words BM25: "phrase queries" must
+match documents where the query terms appear CONSECUTIVELY, in order.  The
+reference engine has no phrase operator (its `make_query` is embedding /
+bag-of-words only, /root/reference/src/models.py:114-149); this is a
+beyond-parity capability standard in every production full-text index
+(Lucene positional postings).
+
+Two independent implementations with identical semantics (cross-checked in
+tests/test_phrase.py):
+
+1. **Index path** (`phrase_match`) — the 100 TB plan.  Positional postings
+   `(term, doc_id, pos)` come from one ``posexplode`` over the tokenized
+   text (at scale these are BUILT ONCE and persisted term-bucketed next to
+   the blocked BM25 postings, positions delta-varint packed with the same
+   ``index/codec.py`` grouped codec — positions are sorted ints exactly like
+   doc-id runs; see tests/test_phrase.py::test_positions_roundtrip_codec).
+   A phrase of n terms becomes a tiny broadcast frame ``(term, offset)``;
+   joining it to the postings turns every candidate token into a candidate
+   phrase-start ``pos - offset``.  A start that collects all n distinct
+   offsets is a real occurrence:
+
+       postings ⋈ broadcast(phrase)           -- touches ONLY the phrase
+       → (doc_id, start = pos - offset, offset)   terms' postings, never
+       → groupBy(doc_id, start): n_distinct(offset) == n   the full corpus
+       → groupBy(doc_id): count(*) = occurrences
+
+   Cost: one broadcast join + two shuffles, the second map-side combinable;
+   all JVM codegen, no Python.  Skew: a phrase containing a scorching-hot
+   term ("def") only explodes that ONE term's postings — the per-(doc,start)
+   grouping key is high-cardinality, so no reducer hot-spots.  Duplicate
+   phrase terms ("a b a") are handled by counting DISTINCT offsets.
+
+2. **Scan path** (`phrase_match_scan`) — brute-force twin over the raw
+   text, a single Catalyst array expression (``filter(sequence(..), s ->
+   slice(tokens, s, n) == phrase)``).  Used as the cross-check and for
+   one-off queries where no index exists.
+
+Both count OVERLAPPING occurrences (token-level: "a a a a" contains "a a"
+three times), matching the DuckDB oracle's exact sliding-window count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goldenretriever_spark.tokenizer import simple_tokens
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(term, doc_id, pos)`` positional postings, one row per token.
+
+    ``posexplode`` emits the 0-based position for free — no window, no
+    shuffle; positions are exact token indices of the simple tokenizer.
+    """
+    toks = simple_tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "term")
+    )
+
+
+def phrase_match(
+    docs: DataFrame, phrase: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Index-path phrase match: ``(doc_id, occurrences)`` for docs containing
+    the exact consecutive token sequence ``phrase`` (occurrences > 0 only).
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    n = len(phrase)
+    spark = docs.sparkSession
+    # Pre-filter: a doc lacking ANY phrase term cannot match — an
+    # arrays-contain conjunction the optimizer applies before the explode.
+    # (With a PERSISTED positional index this pruning is the term equi-join
+    # itself: only the phrase terms' posting buckets are ever read.)
+    toks = simple_tokens(F.col(text_col))
+    pruned = docs
+    for t in sorted(set(phrase)):
+        pruned = pruned.filter(F.array_contains(toks, t))
+    pp = positional_postings(pruned, text_col=text_col, id_col=id_col)
+
+    qp = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(phrase)], "term string, offset int"
+    )
+    starts = pp.join(F.broadcast(qp), "term").select(
+        "doc_id", (F.col("pos") - F.col("offset")).alias("start"), "offset"
+    )
+    return (
+        starts.groupBy("doc_id", "start")
+        .agg(F.count_distinct("offset").alias("n_hit"))
+        .filter(F.col("n_hit") == n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("occurrences"))
+    )
+
+
+def _occurrences_expr(tk: Column, phrase: list[str]) -> Column:
+    """Occurrence count of ``phrase`` in token array ``tk`` as a single
+    Catalyst expression (overlapping, exact)."""
+    n = len(phrase)
+    ph = F.array(*[F.lit(t) for t in phrase])
+    # sequence(1, m) DESCENDS when m < 1 — guard short docs explicitly.
+    starts = F.when(
+        F.size(tk) >= n,
+        F.filter(
+            F.sequence(F.lit(1), F.size(tk) - n + 1),
+            lambda s: F.slice(tk, s, n) == ph,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return F.size(starts).cast("long")
+
+
+def phrase_match_scan(
+    docs: DataFrame, phrase: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scan-path twin: same ``(doc_id, occurrences)`` contract, computed as
+    one array expression over the raw text (no index)."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    tk = simple_tokens(F.col(text_col))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            _occurrences_expr(tk, phrase).alias("occurrences"),
+        )
+        .filter(F.col("occurrences") > 0)
+    )
