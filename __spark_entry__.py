@@ -296,6 +296,30 @@ def _ir_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(DataFrame.unionByName, outs)
 
 
+# Fixed proximity queries (terms, window) for the past-cap contract row:
+# all terms within a W-token window, order-free (Lucene sloppy-phrase style).
+PROXIMITY_QUERIES: list[tuple[int, list[str], int]] = [
+    (1, ["hash", "join"], 4),
+    (2, ["slow", "scan", "filter"], 8),
+]
+
+
+def _ir_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity search via positional postings (query/phrase.py):
+    docs where all query terms co-occur within a W-token window, plus the
+    count of distinct satisfying window starts."""
+    from goldenretriever_spark.query.phrase import proximity_match
+
+    docs = _documents(spark, sf_dir)
+    outs = [
+        proximity_match(docs, terms, w, text_col="content").select(
+            F.lit(pid).cast("long").alias("prox_id"), "doc_id", "n_windows"
+        )
+        for pid, terms, w in PROXIMITY_QUERIES
+    ]
+    return reduce(DataFrame.unionByName, outs)
+
+
 def _kb_build_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kb data model end-to-end (SURVEY §2.1 S1-S4, §2.3 J1-J2): synthesize
     QA pairs from documents (query = first 3 tokens), build the kb tables
@@ -850,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multitable": ann.q_ann_lsh_multitable,
         "dedup_simhash": dedup.q_simhash,
         "dedup_minhash_signatures": dedup.q_minhash_signatures,
+        # unordered proximity search (fulltext beyond-parity, r5; the phrase
+        # family is graded by ir_phrase_match inside the cap)
+        "ir_proximity_match": _ir_proximity_match,
     }
 
 
@@ -1023,6 +1050,32 @@ WHERE occurrences > 0
 """
 
 
+def _proximity_match_sql() -> str:
+    """Sliding-window proximity twin, generated from PROXIMITY_QUERIES: a
+    1-based start s satisfies iff the (end-truncated) W-token slice
+    tk[s : s+W-1] contains all distinct terms — exactly the index path's
+    start-vote domain (every vote start covers its voter's position)."""
+    arms = []
+    for pid, terms, w in PROXIMITY_QUERIES:
+        tset = sorted(set(terms))
+        lit = "[" + ", ".join(f"'{t}'" for t in tset) + "]"
+        arms.append(
+            f"SELECT CAST({pid} AS BIGINT) AS prox_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(tk) + 1), "
+            f"s -> list_has_all(tk[s:s+{w - 1}], {lit}))) AS BIGINT) "
+            f"AS n_windows FROM tkd"
+        )
+    union = "\n  UNION ALL\n  ".join(arms)
+    return f"""
+WITH tkd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '{_WS}'), x -> x <> '') AS tk
+  FROM documents)
+SELECT * FROM (
+  {union})
+WHERE n_windows > 0
+"""
+
+
 def _ir_oracles() -> dict[str, str]:
     return {
         "src_parse_files": _src_parse_files_sql(),
@@ -1175,4 +1228,5 @@ SELECT n_docs, CAST(round(avgdl * 10000) AS BIGINT) AS avgdl_q FROM corpus
 """,
         "ir_term_df": f"WITH {_TOKS_CTE} SELECT term, df FROM term_stats",
         "ir_phrase_match": _phrase_match_sql(),
+        "ir_proximity_match": _proximity_match_sql(),
     }

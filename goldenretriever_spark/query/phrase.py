@@ -129,3 +129,90 @@ def phrase_match_scan(
         )
         .filter(F.col("occurrences") > 0)
     )
+
+
+def proximity_match(
+    docs: DataFrame,
+    terms: list[str],
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unordered proximity search: ``(doc_id, n_windows)`` for docs where ALL
+    distinct ``terms`` co-occur within some ``window`` consecutive tokens
+    (Lucene sloppy-phrase style, order-free). ``n_windows`` counts the
+    distinct window START positions that satisfy the conjunction — a
+    density signal usable as a ranking boost.
+
+    Index path, same start-vote shape as :func:`phrase_match`: each
+    positional posting of a query term votes for the ``window`` starts whose
+    span covers it (one ``explode(sequence(...))`` — cost is W × the
+    QUERY terms' postings only, never the corpus); a start collecting all
+    n distinct terms is a hit.  Window spans truncate at the document end
+    (a start near the end checks the remaining suffix), matching the scan
+    twin and the DuckDB oracle exactly.
+    """
+    tset = sorted(set(terms))
+    if not tset:
+        raise ValueError("terms must be non-empty")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    n = len(tset)
+    spark = docs.sparkSession
+    toks = simple_tokens(F.col(text_col))
+    pruned = docs
+    for t in tset:
+        pruned = pruned.filter(F.array_contains(toks, t))
+    pp = positional_postings(pruned, text_col=text_col, id_col=id_col)
+    qp = spark.createDataFrame([(t,) for t in tset], "term string")
+    hits = pp.join(F.broadcast(qp), "term")
+    starts = hits.select(
+        "doc_id",
+        "term",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (window - 1), F.lit(0)), F.col("pos")
+            )
+        ).alias("start"),
+    )
+    return (
+        starts.groupBy("doc_id", "start")
+        .agg(F.count_distinct("term").alias("n_hit"))
+        .filter(F.col("n_hit") == n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    )
+
+
+def proximity_match_scan(
+    docs: DataFrame,
+    terms: list[str],
+    window: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Scan-path twin of :func:`proximity_match`: one array expression, no
+    index — every start ``s`` (1-based) whose (end-truncated) ``window``-token
+    slice contains all distinct terms."""
+    tset = sorted(set(terms))
+    if not tset:
+        raise ValueError("terms must be non-empty")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    tk = simple_tokens(F.col(text_col))
+    q = F.array(*[F.lit(t) for t in tset])
+    n_win = F.size(
+        F.when(
+            F.size(tk) > 0,
+            F.filter(
+                F.sequence(F.lit(1), F.size(tk)),
+                lambda s: F.forall(
+                    q, lambda t: F.array_contains(F.slice(tk, s, window), t)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+    ).cast("long")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), n_win.alias("n_windows"))
+        .filter(F.col("n_windows") > 0)
+    )

@@ -116,3 +116,94 @@ def test_positions_roundtrip_codec():
     dec, counts = varint_decode_many(bufs)
     back = delta_decode_grouped(dec, counts)
     assert np.array_equal(back, flat)
+
+
+# ---------------------------------------------------------------- proximity
+
+
+def _py_windows(tokens: list[str], terms: list[str], w: int) -> int:
+    tset = sorted(set(terms))
+    return sum(
+        1 for s in range(len(tokens)) if all(t in tokens[s : s + w] for t in tset)
+    )
+
+
+def _check_prox(spark, rows, terms, w):
+    from goldenretriever_spark.query.phrase import (
+        proximity_match,
+        proximity_match_scan,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = sorted(map(tuple, proximity_match(docs, terms, w).collect()))
+    scan = sorted(map(tuple, proximity_match_scan(docs, terms, w).collect()))
+    ref = sorted(
+        (d, _py_windows(_tokens(t), terms, w))
+        for d, t in rows
+        if _py_windows(_tokens(t), terms, w) > 0
+    )
+    assert idx == scan == ref
+    return ref
+
+
+def test_proximity_basic_and_truncation(spark):
+    rows = [
+        (1, "a x x b"),       # a..b span 4 -> window 4 hits at start 0 only
+        (2, "b a"),           # order-free; window 2 start 0; start 1 truncates
+        (3, "a x x x x b"),   # span 6 > window 4
+        (4, "a b a"),         # multiple satisfying starts
+        (5, ""),
+    ]
+    assert _check_prox(spark, rows, ["a", "b"], 4) == [(1, 1), (2, 1), (4, 2)]
+    assert _check_prox(spark, rows, ["a", "b"], 2) == [(2, 1), (4, 2)]
+    assert _check_prox(spark, rows, ["a", "b"], 6) == [
+        (1, 1),
+        (2, 1),
+        (3, 1),
+        (4, 2),
+    ]
+
+
+def test_proximity_duplicate_terms_set_semantics(spark):
+    # duplicate query terms collapse to the distinct set
+    rows = [(1, "a b"), (2, "a a")]
+    assert _check_prox(spark, rows, ["a", "a", "b"], 3) == [(1, 1)]
+    assert _check_prox(spark, rows, ["a", "a"], 1) == [(1, 1), (2, 2)]
+
+
+def test_proximity_window_too_small_for_terms(spark):
+    # 3 distinct terms can never fit a 2-token window
+    rows = [(1, "a b c")]
+    assert _check_prox(spark, rows, ["a", "b", "c"], 2) == []
+    assert _check_prox(spark, rows, ["a", "b", "c"], 3) == [(1, 1)]
+
+
+def test_proximity_randomized_cross_check(spark):
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(60)
+    ]
+    for terms, w in (
+        (["aa", "bb"], 3),
+        (["aa", "bb", "cc"], 5),
+        (["dd"], 1),
+        (["ee", "aa"], 10),
+    ):
+        _check_prox(spark, rows, terms, w)
+
+
+def test_proximity_invalid_args(spark):
+    from goldenretriever_spark.query.phrase import (
+        proximity_match,
+        proximity_match_scan,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        proximity_match(docs, [], 3)
+    with pytest.raises(ValueError):
+        proximity_match(docs, ["a"], 0)
+    with pytest.raises(ValueError):
+        proximity_match_scan(docs, ["a"], 0)
