@@ -89,9 +89,13 @@ def phrase_match(
     starts = pp.join(F.broadcast(qp), "term").select(
         "doc_id", (F.col("pos") - F.col("offset")).alias("start"), "offset"
     )
+    # (doc_id, start, offset) rows are UNIQUE — (start, offset) determines
+    # pos, and each (term, doc, pos) posting exists once — so count(*) equals
+    # count_distinct(offset) and saves the distinct-aggregate's extra
+    # expand/exchange phase (plan: 2 shuffles, both map-side combinable).
     return (
         starts.groupBy("doc_id", "start")
-        .agg(F.count_distinct("offset").alias("n_hit"))
+        .agg(F.count(F.lit(1)).alias("n_hit"))
         .filter(F.col("n_hit") == n)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("occurrences"))

@@ -80,6 +80,16 @@ def main() -> None:
             None,  # built below: needs both legs constructed first
         ),
         (
+            "Phrase match (positional start-vote, index path)",
+            "The arrays-contain conjunction prunes non-candidate docs BEFORE "
+            "posexplode (PushedFilters stay on the scan for parquet sources); "
+            "phrase offsets are a BroadcastHashJoin (2-row frame); both "
+            "groupBys are 2-phase HashAggregate with map-side combine over "
+            "(doc_id, start) — high-cardinality keys, no reducer hot-spot; "
+            "no Python anywhere in the plan.",
+            None,  # built below from the loaded docs frame
+        ),
+        (
             "ANN IVF (broadcast centroids, probe 2 lists)",
             "Centroid cross-joins are BroadcastNestedLoopJoin over a "
             "broadcast-hinted 8-row table (intended: assignment needs every "
@@ -105,6 +115,14 @@ def main() -> None:
         "query_id", F.col("vec_id").alias("doc_id"), F.col("rnk").alias("rank")
     )
     sections[4] = (sections[4][0], sections[4][1], rrf_fuse([lex, vec], k=10))
+
+    from goldenretriever_spark.query.phrase import phrase_match
+
+    sections[5] = (
+        sections[5][0],
+        sections[5][1],
+        phrase_match(docs, ["hash", "join"], text_col="content"),
+    )
 
     out = ["# BENCH/PLANS.md — formatted physical plans (captured by tools/capture_plans.py)\n"]
     for title, note, df in sections:
