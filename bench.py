@@ -98,10 +98,12 @@ def main() -> None:
     timings["bm25_brute_batch50"] = timed_best(bench_brute)
 
     # -- q3: stored-index top-k with measured brute/WAND dispatch ------------
-    # dispatch_top_k routes per query on estimated decode volume (Σdf vs the
-    # measured crossover; mixed batches split); both raw paths are timed
-    # below as diagnostics. The recorded auto_path/dispatch is the decision
-    # the dispatcher ACTUALLY took, not a re-derivation.
+    # dispatch_top_k routes the WHOLE batch by the share of estimated decode
+    # volume (Σdf per query vs the measured crossover) sitting in heavy
+    # queries; per-query splitting is an explicit opt-in that measured slower
+    # (BENCH/WAND_MIXED.json). Both raw paths are timed below as diagnostics.
+    # The recorded auto_path/dispatch is the decision the dispatcher ACTUALLY
+    # took, not a re-derivation.
     plan_box: dict = {}
 
     def bench_auto():

@@ -118,15 +118,20 @@ class StoredIndex:
         """Top-k over this stored index with measured brute/WAND dispatch and
         the persisted term-bucket count for partition pruning — the one-call
         serving path (reference models.py:114-149 analog on the compressed
-        index; mixed batches split per query).
+        index). The WHOLE batch is routed by the share of estimated decode
+        volume in heavy queries (wand.WAND_HEAVY_SHARE_MIN); per-query batch
+        splitting exists but is an explicit opt-in that measured slower
+        (BENCH/WAND_MIXED.json).
 
         ``documents``: optional (doc_id, ...) table; when given, the ranked
         ids are joined back so results carry materialized content (the
         reference's ``make_query`` returns answer STRINGS, models.py:137-149).
-        The ranked frame is tiny (n_queries x k), so it broadcasts and the
-        join is a single streaming pass over the doc table — on a real
-        warehouse, bucket/partition the doc table by doc_id so this becomes
-        a pruned point-lookup scan instead. ``with_plan=True`` also returns
+        LEFT join from the ranked frame (ADVICE r5): all n_queries x k ranked
+        rows survive, a doc_id missing from the doc table surfaces as a row
+        with null content instead of a silent gap in the rank sequence. On a
+        real warehouse the doc table is bucketed by doc_id (write_bucketed)
+        so only the tiny ranked side exchanges; an unbucketed sandbox table
+        pays one corpus shuffle here. ``with_plan=True`` also returns
         the dispatch record (tools/serve_demo.py logs it)."""
         from goldenretriever_spark.query.wand import dispatch_top_k
 
@@ -141,7 +146,7 @@ class StoredIndex:
         )
         if documents is not None:
             ranked = (
-                documents.join(F.broadcast(ranked), "doc_id")
+                ranked.join(documents, "doc_id", "left")
                 .select(
                     "query_id", "doc_id", "score", "rank",
                     *[c for c in documents.columns if c != "doc_id"],
@@ -175,7 +180,8 @@ class StoredIndex:
         shuffle beyond the legs' own plans (the fused agg reuses the legs'
         partitioning — BENCH/PLANS.md 'Hybrid RRF fusion').
 
-        ``documents``: optional join-back, same broadcast pattern as search.
+        ``documents``: optional join-back, same left-join-from-ranked
+        pattern as :meth:`search` (all fused rows preserved).
         Returns (query_id, doc_id, rrf_q, rank [, doc columns])."""
         from goldenretriever_spark.operators.ann import brute_topk, ivf_topk
         from goldenretriever_spark.query.hybrid import rrf_fuse
@@ -192,7 +198,7 @@ class StoredIndex:
         )
         fused = rrf_fuse([lex, vec], k=k)
         if documents is not None:
-            fused = documents.join(F.broadcast(fused), "doc_id").select(
+            fused = fused.join(documents, "doc_id", "left").select(
                 "query_id", "doc_id", "rrf_q", "rank",
                 *[c for c in documents.columns if c != "doc_id"],
             )

@@ -450,17 +450,23 @@ def connected_components_star(
     equi-join back to the edge list. Edges monotonically point downward and
     the potential function of Kiveris et al. guarantees O(log^2 n) rounds;
     at the fixpoint the edge set is exactly the star forest
-    (node -> component min). Convergence is detected by the
-    (count, hash-sum) signature of the edge set being stable across one
-    L+S round pair; ``strict`` as in :func:`connected_components`.
+    (node -> component min). Convergence is EXACT (ADVICE r5): a round pair
+    converged iff the new edge set has the same count as the old AND the
+    anti-join of new against old is empty — both sets are distinct rows, so
+    that is set equality with no hash-collision failure mode; the per-round
+    driver cost is two tiny actions on already-checkpointed frames.
+    ``strict`` as in :func:`connected_components`.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
     )
+    # node set from the UNFILTERED edge list (ADVICE r5): a node appearing
+    # only in self-loop edges is still a (singleton) node, matching
+    # connected_components' coverage exactly
     nodes = (
-        sym.select(F.col("a").alias("id"))
-        .unionByName(sym.select(F.col("b").alias("id")))
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -472,16 +478,6 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-
-    def signature(df: DataFrame) -> tuple:
-        # order-insensitive set digest: count + XOR of row hashes (xor, not
-        # sum — summing full-range xxhash64 longs overflows under ANSI mode;
-        # xor cannot, and the edge set is distinct so no pair self-cancels)
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
 
     def large_star(df: DataFrame) -> DataFrame:
         und = df.unionByName(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -508,16 +504,18 @@ def connected_components_star(
         )
         return out
 
-    sig = signature(e)
+    n_prev = e.count()
     converged = False
     for _ in range(max_iter):
+        prev = e
         e = large_star(e).localCheckpoint(eager=True)
         e = small_star(e).localCheckpoint(eager=True)
-        new_sig = signature(e)
-        if new_sig == sig:
+        n_new = e.count()
+        # exact set equality: equal counts + empty anti-join (both distinct)
+        if n_new == n_prev and e.join(prev, ["a", "b"], "left_anti").isEmpty():
             converged = True
             break
-        sig = new_sig
+        n_prev = n_new
     if not converged:
         msg = (
             f"connected_components_star did not converge within max_iter={max_iter} "

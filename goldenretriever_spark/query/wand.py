@@ -165,9 +165,11 @@ def estimate_decode_rows(posting_blocks: DataFrame, qterms: DataFrame) -> DataFr
     terms == exactly the postings an unpruned stored-index scan decodes.
     Metadata-only: reads (term, df) from the (bucket-pruned) blocks scan —
     parquet column pruning keeps the blob columns untouched. LEFT join with
-    df coalesced to 0 (ADVICE r4): every query_id contributes a row, so a
-    batch mixing no-hit queries with heavy ones does not overstate the mean
-    and misroute to WAND."""
+    df coalesced to 0 (ADVICE r4): every query with at least one token
+    contributes a row (a query tokenizing to ZERO terms has no qterms rows
+    and is absent here — harmless, it returns nothing on any path), so a
+    batch mixing no-HIT queries with heavy ones does not overstate the
+    volume signal and misroute to WAND."""
     tdf = (
         posting_blocks.select("term", "df")
         .groupBy("term")

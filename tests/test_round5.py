@@ -81,11 +81,10 @@ def test_star_handles_self_loops_and_duplicates(spark):
     )
     star_out = _components(connected_components_star(edges))
     pd_out = _components(connected_components(edges))
-    # the star variant drops self-loops up front (a self-loop-only node has
-    # no component peers); compare on the star variant's node set
-    star_nodes = {i for i, _ in star_out}
-    assert {(i, c) for i, c in pd_out if i in star_nodes} == star_out
-    assert star_out == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+    # ADVICE r5: both variants cover the SAME node set — a node appearing
+    # only in self-loop edges is a singleton component of itself
+    assert pd_out == star_out
+    assert star_out == {(1, 1), (2, 1), (3, 1), (5, 5), (7, 7), (8, 7), (9, 9)}
 
 
 def test_nonconvergence_raises_and_warns(spark):

@@ -183,7 +183,8 @@ def test_mixed_batch_split_optin(built, spark):
     3.84 M docs and rejected as the default — BENCH/WAND_MIXED.json: the
     split ran 0.62-0.67x of either forced single path because one-path
     batched execution amortizes the scan/decode machinery — so split stays
-    an explicit opt-in and the default routes the batch by mean volume.)"""
+    an explicit opt-in and the default routes the WHOLE batch by the share
+    of decode volume sitting in heavy queries.)"""
     from goldenretriever_spark.query.wand import dispatch_top_k, estimate_decode_rows
 
     idx, blocks = built

@@ -163,13 +163,14 @@ def mixed(n_docs: int, runs: int, k: int = 10) -> None:
     queries at a corpus size where the two halves sit on OPPOSITE sides of
     the decode-volume crossover. Times four routes on the same stored
     index: forced brute-stored, forced WAND, the DEFAULT dispatcher
-    (mean-routed single path), and the opt-in per-query split. Outcome
-    (first measurement, 3.84 M docs): the split LOSES to both forced
-    single paths (0.62-0.67x) — one-path batched execution amortizes the
-    blocks scan/decode/ranking machinery across the whole batch, and that
-    amortization is worth more than WAND's mild penalty on the low-volume
-    half — which is why split is opt-in and the default routes by batch
-    mean. Rank-identity asserted across all routes. Writes
+    (whole batch routed by heavy-volume share, one single path), and the
+    opt-in per-query split. Outcome (first measurement, 3.84 M docs): the
+    split LOSES to both forced single paths (0.62-0.67x) — one-path batched
+    execution amortizes the blocks scan/decode/ranking machinery across the
+    whole batch, and that amortization is worth more than WAND's mild
+    penalty on the low-volume half — which is why split is opt-in and the
+    default routes the whole batch by the share of decode volume in heavy
+    queries. Rank-identity asserted across all routes. Writes
     BENCH/WAND_MIXED.json."""
     from goldenretriever_spark import corpus
     from goldenretriever_spark.index.storage import StoredIndex
