@@ -52,6 +52,7 @@ def write_index(
     blocks: DataFrame | None = None,
     n_term_buckets: int = 64,
     mode: str = "overwrite",
+    positional: DataFrame | None = None,
 ) -> None:
     write_meta(index.corpus_stats.sparkSession, path, n_term_buckets)
     if blocks is not None:
@@ -60,6 +61,15 @@ def write_index(
             .write.mode(mode)
             .partitionBy("term_bucket")
             .parquet(os.path.join(path, "posting_blocks"))
+        )
+    if positional is not None:
+        # positional phrase/proximity blocks (index/positions.py), bucketed
+        # with the SAME n_term_buckets so query-time pruning shares _meta
+        (
+            positional.repartition("term_bucket")
+            .write.mode(mode)
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(path, "positional_blocks"))
         )
     index.doc_stats.repartition(F.col("doc_id")).write.mode(mode).parquet(
         os.path.join(path, "doc_stats")
@@ -84,6 +94,19 @@ class StoredIndex:
     @property
     def posting_blocks(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.path, "posting_blocks"))
+
+    @property
+    def positional_blocks(self) -> DataFrame:
+        """Persisted positional blocks (index/positions.py); raises if the
+        index was built without them — check :meth:`has_positional`."""
+        return self.spark.read.parquet(os.path.join(self.path, "positional_blocks"))
+
+    def has_positional(self) -> bool:
+        try:
+            self.positional_blocks
+            return True
+        except Exception:
+            return False
 
     @property
     def doc_stats(self) -> DataFrame:
@@ -203,6 +226,28 @@ class StoredIndex:
                 *[c for c in documents.columns if c != "doc_id"],
             )
         return fused
+
+    def phrase(self, phrase: list[str]) -> DataFrame:
+        """Exact phrase search from the persisted positional blocks — no
+        corpus scan, no re-tokenization; only the phrase terms' term_bucket
+        partitions are read (query/phrase.phrase_match_stored)."""
+        from goldenretriever_spark.query.phrase import phrase_match_stored
+
+        return phrase_match_stored(
+            self.positional_blocks, phrase, n_term_buckets=self.n_term_buckets
+        )
+
+    def proximity(self, terms: list[str], window: int) -> DataFrame:
+        """Order-free proximity search from the persisted positional blocks
+        (query/phrase.proximity_match_stored)."""
+        from goldenretriever_spark.query.phrase import proximity_match_stored
+
+        return proximity_match_stored(
+            self.positional_blocks,
+            terms,
+            window,
+            n_term_buckets=self.n_term_buckets,
+        )
 
 
 def write_bucketed(

@@ -10,12 +10,13 @@ beyond-parity capability standard in every production full-text index
 Two independent implementations with identical semantics (cross-checked in
 tests/test_phrase.py):
 
-1. **Index path** (`phrase_match`) — the 100 TB plan.  Positional postings
-   `(term, doc_id, pos)` come from one ``posexplode`` over the tokenized
-   text (at scale these are BUILT ONCE and persisted term-bucketed next to
-   the blocked BM25 postings, positions delta-varint packed with the same
-   ``index/codec.py`` grouped codec — positions are sorted ints exactly like
-   doc-id runs; see tests/test_phrase.py::test_positions_roundtrip_codec).
+1. **Index path** (`phrase_match`) — positional postings `(term, doc_id,
+   pos)` come from one ``posexplode`` over the tokenized text. At scale they
+   are BUILT ONCE and persisted term-bucketed next to the blocked BM25
+   postings (index/positions.py — positions delta-varint packed with the
+   same ``index/codec.py`` grouped codec), and `phrase_match_stored` /
+   `proximity_match_stored` serve from those blocks: the term-bucket
+   partition pruning + term filter replace the corpus scan entirely.
    A phrase of n terms becomes a tiny broadcast frame ``(term, offset)``;
    joining it to the postings turns every candidate token into a candidate
    phrase-start ``pos - offset``.  A start that collects all n distinct
@@ -63,26 +64,14 @@ def positional_postings(
     )
 
 
-def phrase_match(
-    docs: DataFrame, phrase: list[str], text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Index-path phrase match: ``(doc_id, occurrences)`` for docs containing
-    the exact consecutive token sequence ``phrase`` (occurrences > 0 only).
-    """
+def phrase_match_postings(pp: DataFrame, phrase: list[str]) -> DataFrame:
+    """Start-vote phrase match over ANY ``(term, doc_id, pos)`` postings
+    frame (rows unique per (term, doc_id, pos)) — the shared core of the
+    scan path and the stored-index path."""
     if not phrase:
         raise ValueError("phrase must be non-empty")
     n = len(phrase)
-    spark = docs.sparkSession
-    # Pre-filter: a doc lacking ANY phrase term cannot match — an
-    # arrays-contain conjunction the optimizer applies before the explode.
-    # (With a PERSISTED positional index this pruning is the term equi-join
-    # itself: only the phrase terms' posting buckets are ever read.)
-    toks = simple_tokens(F.col(text_col))
-    pruned = docs
-    for t in sorted(set(phrase)):
-        pruned = pruned.filter(F.array_contains(toks, t))
-    pp = positional_postings(pruned, text_col=text_col, id_col=id_col)
-
+    spark = pp.sparkSession
     qp = spark.createDataFrame(
         [(t, i) for i, t in enumerate(phrase)], "term string, offset int"
     )
@@ -100,6 +89,52 @@ def phrase_match(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("occurrences"))
     )
+
+
+def phrase_match(
+    docs: DataFrame, phrase: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Tokenize-path phrase match: ``(doc_id, occurrences)`` for docs
+    containing the exact consecutive token sequence ``phrase`` (occurrences
+    > 0 only). For a PERSISTED index use :func:`phrase_match_stored` — this
+    path re-tokenizes the corpus and exists for index-less one-off queries
+    and as the stored path's cross-check twin."""
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    # Pre-filter: a doc lacking ANY phrase term cannot match — an
+    # arrays-contain conjunction the optimizer applies before the explode.
+    # (With a PERSISTED positional index this pruning is the term equi-join
+    # itself: only the phrase terms' posting buckets are ever read.)
+    toks = simple_tokens(F.col(text_col))
+    pruned = docs
+    for t in sorted(set(phrase)):
+        pruned = pruned.filter(F.array_contains(toks, t))
+    pp = positional_postings(pruned, text_col=text_col, id_col=id_col)
+    return phrase_match_postings(pp, phrase)
+
+
+def phrase_match_stored(
+    positional_blocks: DataFrame,
+    phrase: list[str],
+    n_term_buckets: int | None = None,
+) -> DataFrame:
+    """Phrase match served from PERSISTED positional blocks
+    (index/positions.py) — the 100 TB path: the term-bucket partition
+    pruning + term filter touch only the phrase terms' posting blocks; the
+    corpus is never scanned or re-tokenized. Same ``(doc_id, occurrences)``
+    contract as :func:`phrase_match` (identity-tested in
+    tests/test_positions.py)."""
+    from goldenretriever_spark.index.positions import (
+        decode_positions,
+        prune_blocks_for_terms,
+    )
+
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    pruned = prune_blocks_for_terms(
+        positional_blocks, sorted(set(phrase)), n_term_buckets
+    )
+    return phrase_match_postings(decode_positions(pruned), phrase)
 
 
 def _occurrences_expr(tk: Column, phrase: list[str]) -> Column:
@@ -161,13 +196,26 @@ def proximity_match(
         raise ValueError("terms must be non-empty")
     if window < 1:
         raise ValueError("window must be >= 1")
-    n = len(tset)
-    spark = docs.sparkSession
     toks = simple_tokens(F.col(text_col))
     pruned = docs
     for t in tset:
         pruned = pruned.filter(F.array_contains(toks, t))
     pp = positional_postings(pruned, text_col=text_col, id_col=id_col)
+    return proximity_match_postings(pp, tset, window)
+
+
+def proximity_match_postings(
+    pp: DataFrame, terms: list[str], window: int
+) -> DataFrame:
+    """Window start-vote proximity match over ANY ``(term, doc_id, pos)``
+    postings frame — the shared core of the scan and stored paths."""
+    tset = sorted(set(terms))
+    if not tset:
+        raise ValueError("terms must be non-empty")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    n = len(tset)
+    spark = pp.sparkSession
     qp = spark.createDataFrame([(t,) for t in tset], "term string")
     hits = pp.join(F.broadcast(qp), "term")
     starts = hits.select(
@@ -186,6 +234,29 @@ def proximity_match(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
     )
+
+
+def proximity_match_stored(
+    positional_blocks: DataFrame,
+    terms: list[str],
+    window: int,
+    n_term_buckets: int | None = None,
+) -> DataFrame:
+    """Proximity match served from PERSISTED positional blocks — same
+    bucket-pruned no-corpus-scan shape as :func:`phrase_match_stored`, same
+    ``(doc_id, n_windows)`` contract as :func:`proximity_match`."""
+    from goldenretriever_spark.index.positions import (
+        decode_positions,
+        prune_blocks_for_terms,
+    )
+
+    tset = sorted(set(terms))
+    if not tset:
+        raise ValueError("terms must be non-empty")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    pruned = prune_blocks_for_terms(positional_blocks, tset, n_term_buckets)
+    return proximity_match_postings(decode_positions(pruned), tset, window)
 
 
 def proximity_match_scan(
