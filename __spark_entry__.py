@@ -280,15 +280,31 @@ PHRASE_QUERIES: list[tuple[int, list[str]]] = [
 ]
 
 
-def _ir_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact phrase search via positional postings (query/phrase.py): for
-    each fixed phrase, the docs containing the consecutive token sequence
-    plus the (overlapping) occurrence count."""
-    from goldenretriever_spark.query.phrase import phrase_match
+def _positional_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed positional blocks over the driver corpus (index/positions.py),
+    cached so multi-phrase contract queries pack once. At production scale
+    these are persisted by write_index(positional=...) and read back via
+    StoredIndex — here the driver re-derives them per query run, exercising
+    the same pack -> prune -> decode -> match path end-to-end."""
+    from goldenretriever_spark.index.positions import pack_positional_blocks
 
-    docs = _documents(spark, sf_dir)
+    return pack_positional_blocks(
+        _documents(spark, sf_dir), tokenizer="simple"
+    ).cache()
+
+
+def _ir_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search served from the PERSISTED positional-blocks
+    layout (query/phrase.phrase_match_stored): for each fixed phrase, the
+    docs containing the consecutive token sequence plus the (overlapping)
+    occurrence count. The corpus is tokenized once at pack time; each query
+    touches only its terms' blocks (stored-vs-scan identity:
+    tests/test_positions.py)."""
+    from goldenretriever_spark.query.phrase import phrase_match_stored
+
+    blocks = _positional_blocks(spark, sf_dir)
     outs = [
-        phrase_match(docs, ph, text_col="content").select(
+        phrase_match_stored(blocks, ph).select(
             F.lit(pid).cast("long").alias("phrase_id"), "doc_id", "occurrences"
         )
         for pid, ph in PHRASE_QUERIES
@@ -305,19 +321,33 @@ PROXIMITY_QUERIES: list[tuple[int, list[str], int]] = [
 
 
 def _ir_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered proximity search via positional postings (query/phrase.py):
-    docs where all query terms co-occur within a W-token window, plus the
-    count of distinct satisfying window starts."""
-    from goldenretriever_spark.query.phrase import proximity_match
+    """Unordered proximity search served from the persisted positional
+    blocks (query/phrase.proximity_match_stored): docs where all query terms
+    co-occur within a W-token window, plus the count of distinct satisfying
+    window starts."""
+    from goldenretriever_spark.query.phrase import proximity_match_stored
 
-    docs = _documents(spark, sf_dir)
+    blocks = _positional_blocks(spark, sf_dir)
     outs = [
-        proximity_match(docs, terms, w, text_col="content").select(
+        proximity_match_stored(blocks, terms, w).select(
             F.lit(pid).cast("long").alias("prox_id"), "doc_id", "n_windows"
         )
         for pid, terms, w in PROXIMITY_QUERIES
     ]
     return reduce(DataFrame.unionByName, outs)
+
+
+def _ir_phrase_ranked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-aware ranked retrieval (query/phrase.phrase_ranked_topk):
+    BM25 over each phrase's terms plus a saturating ln(1+occurrences)
+    exact-phrase boost from the stored positional blocks — the positional
+    index as a retrieval consumer, not a boolean endpoint."""
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.query.phrase import phrase_ranked_topk
+
+    idx = build_index(_documents(spark, sf_dir), tokenizer="simple")
+    blocks = _positional_blocks(spark, sf_dir)
+    return phrase_ranked_topk(idx, blocks, PHRASE_QUERIES, k=K, boost=1.0)
 
 
 def _kb_build_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -796,8 +826,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     room for ir_phrase_match + txt_quality_filter — rel_window_running and
     rel_pivot (generic beyond-parity relational demos; the window family
     keeps rel_window_rank graded, percentiles/rollup keep grouping-sets
-    graded). The past-cap entries remain fully implemented, oracle-backed
-    and pytest-run."""
+    graded), and — displaced in r6 to grade ir_proximity_match +
+    ir_phrase_ranked_topk — txt_quality_score (subsumed by the graded
+    conjunctive txt_quality_filter, which computes the same Gopher stats)
+    and ann_lsh_topk (the bucketed-ANN scale-path family stays graded via
+    the stricter ann_ivf_trained_topk; multiprobe/multitable LSH variants
+    were already past-cap on the same rationale). The past-cap entries
+    remain fully implemented, oracle-backed and pytest-run."""
     from goldenretriever_spark.operators import ann, dedup, relational, split, textstats
 
     return {
@@ -809,8 +844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_doc_stats_sha256": _doc_stats,
         "ir_corpus_stats": _corpus_stats,
         "ir_term_df": _term_df,
-        # positional-index phrase search (fulltext beyond-parity, r5)
+        # positional-index phrase/proximity search served from the stored
+        # blocks (r5 scan path -> r6 persisted path), plus phrase-boosted
+        # ranking — the positional index's retrieval consumer (r6)
         "ir_phrase_match": _ir_phrase_match,
+        "ir_proximity_match": _ir_proximity_match,
+        "ir_phrase_ranked_topk": _ir_phrase_ranked_topk,
         # --- sources + sinks + streaming (SURVEY §2.1 S1-S4, S9-S11, §2.9) ---
         "src_parse_files": _src_parse_files,
         "sink_querylog_feedback": _sink_querylog_feedback,
@@ -835,7 +874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_range_join": _rel_range_join,
         # --- text analysis (training-data ops) ---
         "txt_token_count": textstats.q_token_count,
-        "txt_quality_score": textstats.q_quality_score,
         # Gopher-rule conjunctive keep/drop gate (r5)
         "txt_quality_filter": textstats.q_quality_filter,
         "txt_lang_id": textstats.q_lang_id,
@@ -850,7 +888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_neardup": dedup.q_embedding_neardup_pairs,
         # --- similarity search ---
         "ann_brute_topk": ann.q_ann_brute_topk,
-        "ann_lsh_topk": ann.q_ann_lsh_topk,
         # trained coarse quantizer: the SERVING plan is oracle-checked via
         # the pinned sf0.01 codebook literals (operators/ivf_codebook.py);
         # the training loop itself stays pytest-covered
@@ -872,11 +909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_asof_join": _rel_asof_join,
         "ann_lsh_multiprobe": ann.q_ann_lsh_multiprobe,
         "ann_lsh_multitable": ann.q_ann_lsh_multitable,
+        "ann_lsh_topk": ann.q_ann_lsh_topk,
         "dedup_simhash": dedup.q_simhash,
         "dedup_minhash_signatures": dedup.q_minhash_signatures,
-        # unordered proximity search (fulltext beyond-parity, r5; the phrase
-        # family is graded by ir_phrase_match inside the cap)
-        "ir_proximity_match": _ir_proximity_match,
+        "txt_quality_score": textstats.q_quality_score,
     }
 
 
@@ -1047,6 +1083,60 @@ WITH tkd AS (
 SELECT * FROM (
   {union})
 WHERE occurrences > 0
+"""
+
+
+def _phrase_ranked_sql() -> str:
+    """Twin of _ir_phrase_ranked_topk: the bm25_topk scored CTE with each
+    phrase's distinct terms as the query terms, LEFT-joined to the exact
+    sliding-window phrase occurrences, boosted by 1.0 * ln(1+occ), quantized
+    x10000, top-{K} per query with the (score desc, doc_id asc) tie rule."""
+    qrows = []
+    arms = []
+    for pid, ph in PHRASE_QUERIES:
+        for term in sorted(set(ph)):
+            qrows.append(f"({pid}, '{term}')")
+        n = len(ph)
+        lit = "[" + ", ".join(f"'{t}'" for t in ph) + "]"
+        arms.append(
+            f"SELECT CAST({pid} AS BIGINT) AS query_id, doc_id, "
+            f"CAST(len(list_filter(range(1, len(tk) - {n} + 2), "
+            f"s -> tk[s:s+{n - 1}] = {lit})) AS BIGINT) AS occurrences FROM tkd"
+        )
+    union = "\n  UNION ALL\n  ".join(arms)
+    return f"""
+WITH {_TOKS_CTE},
+qterms(query_id, term) AS (VALUES {", ".join(qrows)}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+            * (p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / c.avgdl))) ) AS score
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN term_stats t ON p.term = t.term
+  JOIN doc_stats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+tkd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '{_WS}'), x -> x <> '') AS tk
+  FROM documents),
+occ AS (
+  SELECT * FROM (
+    {union})
+  WHERE occurrences > 0),
+ranked AS (
+  SELECT s.query_id, s.doc_id,
+         CAST(round((s.score + 1.0 * ln(1 + coalesce(o.occurrences, 0))) * 10000) AS BIGINT) AS score_q,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY CAST(round((s.score + 1.0 * ln(1 + coalesce(o.occurrences, 0))) * 10000) AS BIGINT) DESC,
+                    s.doc_id ASC
+         ) AS rank
+  FROM scored s
+  LEFT JOIN occ o ON s.query_id = o.query_id AND s.doc_id = o.doc_id
+)
+SELECT query_id, doc_id, score_q, rank FROM ranked WHERE rank <= {K}
 """
 
 
@@ -1229,4 +1319,5 @@ SELECT n_docs, CAST(round(avgdl * 10000) AS BIGINT) AS avgdl_q FROM corpus
         "ir_term_df": f"WITH {_TOKS_CTE} SELECT term, df FROM term_stats",
         "ir_phrase_match": _phrase_match_sql(),
         "ir_proximity_match": _proximity_match_sql(),
+        "ir_phrase_ranked_topk": _phrase_ranked_sql(),
     }

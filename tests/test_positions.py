@@ -161,3 +161,49 @@ def test_has_positional_false_without_blocks(spark, tmp_path):
     path = str(tmp_path / "idx")
     write_index(idx, path, blocks=pack_blocks(idx), n_term_buckets=8)
     assert not StoredIndex(spark, path).has_positional()
+
+
+def test_phrase_ranked_topk_rank_identity(spark):
+    """phrase_ranked_topk == a pure-Python reference (oracle BM25 over the
+    phrase terms + sliding-window exact occurrence count, boosted by
+    1.0*ln(1+occ), quantized x10000, score-desc/doc_id-asc top-k) on a
+    randomized corpus — full rank identity including quantized scores."""
+    import math
+
+    from goldenretriever_spark.index.build import build_index, with_doc_ids
+    from goldenretriever_spark.oracle import (
+        bm25_score,
+        build_oracle_index,
+        simple_tokenize_text,
+    )
+    from goldenretriever_spark.query.phrase import phrase_ranked_topk
+
+    raw = spark.createDataFrame(corpus.synth_corpus_pandas(150, seed=13))
+    idx = build_index(raw, tokenizer="simple")
+    blocks = pack_positional_blocks(
+        raw, tokenizer="simple", postings=idx.postings,
+        target_positions_per_group=512, n_term_buckets=8, block_docs=16,
+    )
+    phrases = [(1, ["def", "def"]), (2, ["return", "None"]), (3, ["for", "i", "in"])]
+    got = {}
+    res = phrase_ranked_topk(idx, blocks, phrases, k=10, boost=1.0, n_term_buckets=8)
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score_q"]))
+
+    docs_id = with_doc_ids(raw).select("doc_id", "content").collect()
+    oidx = build_oracle_index([(r["doc_id"], r["content"]) for r in docs_id])
+    toks = {r["doc_id"]: simple_tokenize_text(r["content"]) for r in docs_id}
+    for qid, ph in phrases:
+        n = len(ph)
+        cands = set()
+        for t in set(ph):
+            cands.update(oidx.postings.get(t, {}).keys())
+        scored = []
+        for d in cands:
+            tk = toks[d]
+            occ = sum(1 for s in range(len(tk) - n + 1) if tk[s:s + n] == ph)
+            s = bm25_score(oidx, " ".join(ph), d) + 1.0 * math.log(1 + occ)
+            scored.append((d, round(s * 10000)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        expected = [(i + 1, d, sq) for i, (d, sq) in enumerate(scored[:10])]
+        assert sorted(got.get(qid, [])) == sorted(expected), f"phrase {ph} diverged"
