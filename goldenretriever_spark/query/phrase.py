@@ -218,6 +218,22 @@ def proximity_match_postings(
     spark = pp.sparkSession
     qp = spark.createDataFrame([(t,) for t in tset], "term string")
     hits = pp.join(F.broadcast(qp), "term")
+    if n > 1:
+        # Intersection-first pruning: the window explode multiplies every
+        # posting by W, so feeding it a scorching-hot term's full posting
+        # list is the scale bottleneck (measured: stored path 6x SLOWER than
+        # the scan twin at 100k docs on {def,hash,user} before this join).
+        # A doc lacking ANY query term cannot produce a window — shrink
+        # `hits` to docs containing ALL n terms first. One extra map-side-
+        # combinable shuffle over the query terms' postings, in exchange for
+        # exploding only the (typically tiny) conjunction's docs.
+        cand = (
+            hits.groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("_nt"))
+            .filter(F.col("_nt") == n)
+            .select("doc_id")
+        )
+        hits = hits.join(cand, "doc_id", "left_semi")
     starts = hits.select(
         "doc_id",
         "term",
