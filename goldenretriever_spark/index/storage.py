@@ -198,15 +198,23 @@ class StoredIndex:
         lexical batch; ``embeddings``: (vec_id, embedding) with vec_id in
         the doc_id space. Vector leg: exact brute cosine when ``centroids``
         is None (the exactness baseline); IVF-probed re-rank when a
-        (centroid_id, cvec) codebook is given — the 100 TB path, where only
-        n_probe inverted lists are scanned per query. Fusion itself adds no
-        shuffle beyond the legs' own plans (the fused agg reuses the legs'
-        partitioning — BENCH/PLANS.md 'Hybrid RRF fusion').
+        (centroid_id, cvec) codebook is given. When ``embeddings`` ALSO
+        carries a ``centroid_id`` column (inverted-list membership persisted
+        at index time, partitioned by centroid_id), the leg serves from the
+        stored lists via ann.ivf_topk_from_lists — only the probed lists'
+        partitions are read, no per-query corpus pass: the 100 TB path.
+        Fusion itself adds no shuffle beyond the legs' own plans (the fused
+        agg reuses the legs' partitioning — BENCH/PLANS.md 'Hybrid RRF
+        fusion').
 
         ``documents``: optional join-back, same left-join-from-ranked
         pattern as :meth:`search` (all fused rows preserved).
         Returns (query_id, doc_id, rrf_q, rank [, doc columns])."""
-        from goldenretriever_spark.operators.ann import brute_topk, ivf_topk
+        from goldenretriever_spark.operators.ann import (
+            brute_topk,
+            ivf_topk,
+            ivf_topk_from_lists,
+        )
         from goldenretriever_spark.query.hybrid import rrf_fuse
 
         lex = self.search(queries, k=k, tokenizer=tokenizer).select(
@@ -214,6 +222,10 @@ class StoredIndex:
         )
         if centroids is None:
             vec = brute_topk(embeddings, query_vectors, k=k)
+        elif "centroid_id" in embeddings.columns:
+            vec = ivf_topk_from_lists(
+                embeddings, query_vectors, centroids, k=k, n_probe=n_probe
+            )
         else:
             vec = ivf_topk(embeddings, query_vectors, centroids, k=k, n_probe=n_probe)
         vec = vec.select(

@@ -390,19 +390,11 @@ def ivf_probed_candidates(
     return int(val or 0)
 
 
-def ivf_topk(
-    emb: DataFrame,
-    qvecs: DataFrame,
-    cent: DataFrame,
-    k: int = 5,
-    n_probe: int = 2,
-) -> DataFrame:
-    """Frame-level IVF core: broadcast centroid assignment (inverted lists),
-    probe the n_probe nearest lists per query, exact cosine re-rank inside
-    them. emb: (vec_id, embedding); qvecs: (query_id, qvec);
-    cent: (centroid_id, cvec)."""
-    assign = ivf_assign(emb, cent)
-    probes = ivf_probes(qvecs, cent, n_probe)
+def _ivf_rerank(probes: DataFrame, assign: DataFrame, k: int) -> DataFrame:
+    """Shared IVF tail: join per-query probes to inverted-list members on
+    centroid_id, exact quantized-cosine re-rank, per-query top-k. One source
+    of truth so the per-query path (ivf_topk) and the persisted-lists path
+    (ivf_topk_from_lists) cannot drift."""
     scored = probes.join(assign, "centroid_id").select(
         "query_id",
         "vec_id",
@@ -416,6 +408,56 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "vec_id", "cosine_q", "rnk")
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    qvecs: DataFrame,
+    cent: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Frame-level IVF core: broadcast centroid assignment (inverted lists),
+    probe the n_probe nearest lists per query, exact cosine re-rank inside
+    them. emb: (vec_id, embedding); qvecs: (query_id, qvec);
+    cent: (centroid_id, cvec).
+
+    NOTE the assignment here is computed in-plan — a full corpus pass per
+    query batch. That is the right exactness baseline at test scale; the
+    serving path at scale is :func:`ivf_topk_from_lists` over assignment
+    persisted once at index time."""
+    assign = ivf_assign(emb, cent)
+    probes = ivf_probes(qvecs, cent, n_probe)
+    return _ivf_rerank(probes, assign, k)
+
+
+def ivf_topk_from_lists(
+    assigned: DataFrame,
+    qvecs: DataFrame,
+    cent: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF serving from PERSISTED inverted lists — the 100 TB path.
+
+    ``assigned``: (vec_id, embedding, centroid_id) exactly as
+    :func:`ivf_assign` produced it, persisted at index time partitioned by
+    ``centroid_id`` (tools/hybrid_scale.py writes it that way). The probed
+    centroid ids are collected driver-side (a tiny n_queries x n_probe list,
+    same pattern as the stored-index term-bucket pruning) and applied as a
+    partition filter BEFORE the join, so only the probed lists' partition
+    directories are ever listed or read — per-batch scan cost is bounded by
+    the probed lists' sizes, independent of corpus size, with no per-query
+    corpus pass. Rank-identical to :func:`ivf_topk` on the same codebook
+    (tests/test_round6.py)."""
+    probes = ivf_probes(qvecs, cent, n_probe)
+    probe_ids = [
+        r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+    ]
+    pruned = assigned.filter(F.col("centroid_id").isin(probe_ids)).select(
+        "centroid_id", "vec_id", "embedding"
+    )
+    return _ivf_rerank(probes, pruned, k)
 
 
 def _ivf_topk_with_centroids(

@@ -41,6 +41,8 @@ def incremental_postings_build(
     out_dir: str,
     tokenizer: str = "simple",
     schema: str | None = None,
+    positional: bool = False,
+    n_term_buckets: int = 64,
 ) -> None:
     """Drain all currently-available files into the postings store.
 
@@ -48,7 +50,17 @@ def incremental_postings_build(
     repeatedly as new files land (the resume story for the ingest side,
     complementing the per-bucket build checkpoints). ``schema`` may carry an
     explicit doc_id column (kept by build_index); default corpora derive it
-    from (repo, path, commit)."""
+    from (repo, path, commit).
+
+    ``positional=True`` additionally packs each micro-batch's positional
+    postings (index/positions.py) and appends them as per-batch SEGMENTS to
+    ``out_dir/positional_blocks`` — the Lucene segment model: each batch's
+    blocks are complete and immediately servable (phrase_match_stored never
+    keys on block_id, it decodes every pruned block row independently, and
+    batches hold disjoint doc_ids by the dedupe above), while periodic
+    compaction (:func:`compact_streamed_index`) republishes globally-packed
+    blocks with collection-frequency-sized salts. Per-batch salts use the
+    batch's own cf — locally right-sized; only compaction sees the global cf."""
     stream = spark.readStream.schema(schema or DOCS_SCHEMA).parquet(input_dir)
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -73,6 +85,20 @@ def incremental_postings_build(
         idx = build_index(docs, tokenizer=tokenizer, persist=False)
         idx.postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
         idx.doc_stats.write.mode("append").parquet(stats_path)
+        if positional:
+            from goldenretriever_spark.index.positions import pack_positional_blocks
+
+            (
+                pack_positional_blocks(
+                    docs,
+                    tokenizer=tokenizer,
+                    postings=idx.postings,
+                    n_term_buckets=n_term_buckets,
+                )
+                .write.mode("append")
+                .partitionBy("term_bucket")
+                .parquet(os.path.join(out_dir, "positional_blocks"))
+            )
 
     (
         stream.writeStream.foreachBatch(fold_batch)
@@ -106,6 +132,7 @@ def compact_streamed_index(
     n_term_buckets: int = 64,
     block_size: int = 128,
     target_docs_per_group: int = 250_000,
+    positional: bool = False,
 ):
     """Periodic compaction: fold the appended streaming postings store into
     the compressed, term-bucketed stored index (the serving format), closing
@@ -113,7 +140,16 @@ def compact_streamed_index(
     this job runs on a schedule and republishes the block index that
     StoredIndex.search / top_k_auto answer from. The appended postings are
     already (term, doc_id)-unique (batch dedupe above), so compaction is
-    exactly the batch pack — no merge pass."""
+    exactly the batch pack — no merge pass.
+
+    ``positional=True``: the per-batch positional segments appended by
+    :func:`incremental_postings_build` are decoded back to (term, doc_id,
+    pos) rows and globally repacked — salts sized by the store-wide Σtf, not
+    each batch's — so the republished ``positional_blocks`` serve
+    phrase/proximity results identical to a clean batch build over the union
+    of inputs (tests/test_round6.py asserts it). This is the segment-merge
+    half of the Lucene model; decode+repack touches only the positional
+    store, never the raw corpus."""
     from goldenretriever_spark.index.blocks import pack_blocks
     from goldenretriever_spark.index.storage import StoredIndex, write_index
 
@@ -124,5 +160,24 @@ def compact_streamed_index(
         target_docs_per_group=target_docs_per_group,
         n_term_buckets=n_term_buckets,
     )
-    write_index(idx, idx_path, blocks=blocks, n_term_buckets=n_term_buckets)
+    pos_blocks = None
+    if positional:
+        from goldenretriever_spark.index.positions import (
+            decode_positions,
+            pack_positions,
+        )
+
+        segs = spark.read.parquet(os.path.join(out_dir, "positional_blocks"))
+        rows = decode_positions(segs)
+        cf = idx.postings.groupBy("term").agg(
+            F.sum("tf").cast("long").alias("cf")
+        )
+        pos_blocks = pack_positions(rows, cf, n_term_buckets=n_term_buckets)
+    write_index(
+        idx,
+        idx_path,
+        blocks=blocks,
+        n_term_buckets=n_term_buckets,
+        positional=pos_blocks,
+    )
     return StoredIndex(spark, idx_path)
