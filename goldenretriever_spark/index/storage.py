@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 
 from goldenretriever_spark.index.build import InvertedIndex
 
+_UNSET = object()  # n_term_buckets memo sentinel (None is a valid value)
+
 
 def bucket_col(term_col: str = "term", n_buckets: int = 64):
     return F.pmod(F.xxhash64(term_col), F.lit(n_buckets)).cast("int")
@@ -90,10 +92,25 @@ class StoredIndex:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # an opened index is immutable (republication writes a new path /
+        # Iceberg snapshot), so per-handle memoization of the tiny metadata
+        # is safe — without it every search() pays 2 extra driver jobs
+        # (_meta read + corpus_stats collect), a measurable slice of
+        # single-query serve latency (BENCH/SERVE_LATENCY.json)
+        self._n_term_buckets: int | None | object = _UNSET
+        self._stats: tuple[int, float] | None = None
+        self._posting_blocks: DataFrame | None = None
 
     @property
     def posting_blocks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.path, "posting_blocks"))
+        # memoized: re-reading re-runs partition discovery over all the
+        # term_bucket directories at plan time, per search call. A DataFrame
+        # is an immutable plan, so handing the same one out is safe.
+        if self._posting_blocks is None:
+            self._posting_blocks = self.spark.read.parquet(
+                os.path.join(self.path, "posting_blocks")
+            )
+        return self._posting_blocks
 
     @property
     def positional_blocks(self) -> DataFrame:
@@ -123,12 +140,25 @@ class StoredIndex:
     @property
     def n_term_buckets(self) -> int | None:
         """Build-time bucket count from _meta; None for pre-meta indexes
-        (query paths then skip partition pruning rather than guess)."""
+        (query paths then skip partition pruning rather than guess).
+        Memoized per handle (see __init__)."""
+        if self._n_term_buckets is not _UNSET:
+            return self._n_term_buckets
         try:
             rows = self.spark.read.parquet(os.path.join(self.path, "_meta")).collect()
+            val = int(rows[0]["n_term_buckets"]) if rows else None
         except Exception:
-            return None
-        return int(rows[0]["n_term_buckets"]) if rows else None
+            val = None
+        self._n_term_buckets = val
+        return val
+
+    @property
+    def stats(self) -> tuple[int, float]:
+        """(n_docs, avgdl), collected once per handle."""
+        if self._stats is None:
+            row = self.corpus_stats.collect()[0]
+            self._stats = (int(row["n_docs"]), float(row["avgdl"]))
+        return self._stats
 
     def search(
         self,
@@ -166,6 +196,7 @@ class StoredIndex:
             k=k,
             tokenizer=tokenizer,
             n_term_buckets=self.n_term_buckets,
+            stats=self.stats,
         )
         if documents is not None:
             ranked = (

@@ -207,6 +207,7 @@ def dispatch_top_k(
     n_term_buckets: int | None = None,
     crossover_rows: int | None = None,
     split: bool = False,
+    stats: tuple[int, float] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Top-k over the stored index with brute-stored vs WAND auto-dispatch.
 
@@ -238,7 +239,9 @@ def dispatch_top_k(
     an explicit opt-in for re-measurement on other hosts/workloads.
 
     Fixed-overhead control on the hot serving row:
-    - corpus_stats is collected ONCE here and handed to the routed path(s).
+    - corpus_stats is collected ONCE here and handed to the routed path(s);
+      a caller holding the (n_docs, avgdl) tuple already (StoredIndex
+      memoizes it per handle) passes ``stats=`` and skips even that job.
     - for list-typed batches the max-terms bound comes from driver-side
       tokenization (oracle twin) — no Spark job.
     - the df probe is skipped when the driver-side upper bound
@@ -251,8 +254,9 @@ def dispatch_top_k(
                 "SPARK_GRAFT_WAND_CROSSOVER_ROWS", WAND_CROSSOVER_DECODE_ROWS
             )
         )
-    row = corpus_stats.collect()[0]
-    stats = (int(row["n_docs"]), float(row["avgdl"]))
+    if stats is None:
+        row = corpus_stats.collect()[0]
+        stats = (int(row["n_docs"]), float(row["avgdl"]))
     n_docs = stats[0]
 
     toksets = _driver_side_toksets(queries, tokenizer)
