@@ -91,6 +91,64 @@ def phrase_match_postings(pp: DataFrame, phrase: list[str]) -> DataFrame:
     )
 
 
+def phrase_match_postings_batch(
+    pp: DataFrame, phrases: list[tuple[int, list[str]]]
+) -> DataFrame:
+    """Batched start-vote: ``(query_id, doc_id, occurrences)`` for a WHOLE
+    phrase batch in one plan over one shared postings frame.
+
+    The per-phrase core (:func:`phrase_match_postings`) pays one
+    prune+decode+vote per phrase; here the broadcast frame carries
+    ``(query_id, term, offset)`` for every phrase and the vote keys on
+    ``(query_id, doc_id, start)``, so a P-phrase batch costs ONE pass over
+    the union of the phrases' postings — same amortization move as batched
+    BM25. Rows stay unique per (query_id, doc_id, start, offset) by the
+    same argument as the single-phrase path (offset determines pos), so
+    count(*) == the phrase's offset count detects a full vote."""
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    if any(not ph for _, ph in phrases):
+        raise ValueError("phrase must be non-empty")
+    spark = pp.sparkSession
+    qp = spark.createDataFrame(
+        [(qid, t, i) for qid, ph in phrases for i, t in enumerate(ph)],
+        "query_id long, term string, offset int",
+    )
+    need = spark.createDataFrame(
+        [(qid, len(ph)) for qid, ph in phrases], "query_id long, n_need int"
+    )
+    starts = pp.join(F.broadcast(qp), "term").select(
+        "query_id", "doc_id", (F.col("pos") - F.col("offset")).alias("start")
+    )
+    return (
+        starts.groupBy("query_id", "doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(need), "query_id")
+        .filter(F.col("n_hit") == F.col("n_need"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("occurrences"))
+    )
+
+
+def phrase_match_stored_batch(
+    positional_blocks: DataFrame,
+    phrases: list[tuple[int, list[str]]],
+    n_term_buckets: int | None = None,
+) -> DataFrame:
+    """Batched :func:`phrase_match_stored`: one bucket-prune over the UNION
+    of the batch's terms, one decode, one vote — P phrases, one scan."""
+    from goldenretriever_spark.index.positions import (
+        decode_positions,
+        prune_blocks_for_terms,
+    )
+
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    all_terms = sorted({t for _, ph in phrases for t in ph})
+    pruned = prune_blocks_for_terms(positional_blocks, all_terms, n_term_buckets)
+    return phrase_match_postings_batch(decode_positions(pruned), phrases)
+
+
 def phrase_match(
     docs: DataFrame, phrase: list[str], text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -329,18 +387,17 @@ def phrase_ranked_topk(
     is the classic positional-index upgrade over bag-of-words.
 
     Plan shape: the BM25 leg is the stock score_candidates plan (broadcast
-    query terms, one map-side-combinable shuffle); the phrase leg touches
-    only the phrase terms' positional buckets; the two meet in a LEFT join
-    keyed (query_id, doc_id) — every phrase-matching doc contains the
-    phrase's terms, so the left side (scored) already covers all matches
-    and no candidate is lost.
+    query terms, one map-side-combinable shuffle); the phrase leg is ONE
+    batched vote over the union of the batch's positional buckets
+    (:func:`phrase_match_stored_batch` — P phrases never pay P scans); the
+    two meet in a LEFT join keyed (query_id, doc_id) — every
+    phrase-matching doc contains the phrase's terms, so the left side
+    (scored) already covers all matches and no candidate is lost.
 
     Returns ``(query_id, doc_id, score_q, rank)`` top-k per query, score
     quantized x10000 with the engine-wide (score desc, doc_id asc) tie
     discipline.
     """
-    from functools import reduce
-
     from goldenretriever_spark.query import bm25
 
     if not phrases:
@@ -350,14 +407,9 @@ def phrase_ranked_topk(
         spark, [(qid, " ".join(ph)) for qid, ph in phrases], tokenizer="simple"
     )
     scored = bm25.score_candidates(index, terms)
-    occs = [
-        phrase_match_stored(positional_blocks, ph, n_term_buckets=n_term_buckets)
-        .select(
-            F.lit(qid).cast("long").alias("query_id"), "doc_id", "occurrences"
-        )
-        for qid, ph in phrases
-    ]
-    occ = reduce(DataFrame.unionByName, occs)
+    occ = phrase_match_stored_batch(
+        positional_blocks, phrases, n_term_buckets=n_term_buckets
+    )
     boosted = scored.join(occ, ["query_id", "doc_id"], "left").withColumn(
         "score_q",
         F.round(

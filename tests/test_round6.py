@@ -121,6 +121,43 @@ def test_search_hybrid_from_lists_matches_inplan(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# batched phrase vote (one scan per batch, not per phrase)
+# ---------------------------------------------------------------------------
+
+def test_phrase_batch_equals_per_phrase(spark):
+    """The batched start-vote must reproduce the per-phrase stored path
+    exactly — including overlapping occurrences and duplicate-term
+    phrases — while paying one decode for the whole batch."""
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.build import with_doc_ids
+    from goldenretriever_spark.index.positions import pack_positional_blocks
+    from goldenretriever_spark.query.phrase import (
+        phrase_match_stored,
+        phrase_match_stored_batch,
+    )
+
+    docs = with_doc_ids(spark.createDataFrame(corpus.synth_corpus_pandas(150, seed=9)))
+    blocks = pack_positional_blocks(docs, n_term_buckets=8).cache()
+    batch = [
+        (0, ["def", "return"]),
+        (1, ["#", "todo"]),
+        (2, ["def", "return", "def"]),   # duplicate-term phrase
+        (3, ["zzz_absent", "def"]),      # no matches
+    ]
+    got = sorted(
+        map(tuple, phrase_match_stored_batch(blocks, batch, n_term_buckets=8).collect())
+    )
+    want = sorted(
+        (qid, r["doc_id"], r["occurrences"])
+        for qid, ph in batch
+        for r in phrase_match_stored(blocks, ph, n_term_buckets=8).collect()
+    )
+    blocks.unpersist()
+    assert got == want
+    assert any(q == 0 for q, _, _ in got), "batch must have real matches"
+
+
+# ---------------------------------------------------------------------------
 # streamed positional segments (VERDICT r5 #8)
 # ---------------------------------------------------------------------------
 
