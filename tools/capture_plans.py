@@ -124,6 +124,93 @@ def main() -> None:
         phrase_match(docs, ["hash", "join"], text_col="content"),
     )
 
+    # r6: stored positional serving + IVF from persisted lists (plans read
+    # from real partitioned parquet so PartitionFilters show up)
+    import tempfile
+
+    from goldenretriever_spark.index.build import with_doc_ids
+    from goldenretriever_spark.index.positions import pack_positional_blocks
+    from goldenretriever_spark.query.phrase import (
+        phrase_match_stored,
+        phrase_match_stored_batch,
+        proximity_match_stored,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="gr_plans_")
+    pos_path = os.path.join(tmp, "positional_blocks")
+    pack_positional_blocks(
+        with_doc_ids(docs) if "doc_id" not in docs.columns else docs,
+        n_term_buckets=8,
+    ).write.partitionBy("term_bucket").parquet(pos_path)
+    pos = spark.read.parquet(pos_path)
+    sections.append(
+        (
+            "Phrase match from STORED positional blocks (r6)",
+            "No corpus scan, no tokenizer: the scan reads positional_blocks "
+            "with PartitionFilters on term_bucket (only the phrase terms' "
+            "bucket directories listed) + a pushed term isin filter; decode "
+            "is one Arrow-batched mapInPandas; the start-vote aggs are the "
+            "same 2-phase map-side-combinable HashAggregates as the scan "
+            "path.",
+            phrase_match_stored(pos, ["hash", "join"], n_term_buckets=8),
+        )
+    )
+    sections.append(
+        (
+            "Batched phrase vote (P phrases, one scan; r6)",
+            "The broadcast frame carries (query_id, term, offset) for the "
+            "whole batch; ONE decode over the union of the batch's buckets "
+            "feeds a vote keyed (query_id, doc_id, start). P phrases never "
+            "pay P positional scans.",
+            phrase_match_stored_batch(
+                pos, [(0, ["hash", "join"]), (1, ["merge", "sort"])], n_term_buckets=8
+            ),
+        )
+    )
+    sections.append(
+        (
+            "Proximity match from stored blocks (intersection-first, r6)",
+            "Candidate docs = count-distinct semi-join over the query terms' "
+            "postings BEFORE the Wx window explode — the explode touches only "
+            "docs containing ALL terms, so cost scales with the conjunction, "
+            "not the hottest term's posting list.",
+            proximity_match_stored(pos, ["hash", "join"], 8, n_term_buckets=8),
+        )
+    )
+
+    from goldenretriever_spark.operators.ann import (
+        ivf_assign,
+        ivf_topk_from_lists,
+        synth_clustered_embeddings,
+        train_centroids_kmeans,
+    )
+
+    emb = synth_clustered_embeddings(spark, 500, n_clusters=4, seed=11).select(
+        "vec_id", "embedding"
+    )
+    cb = train_centroids_kmeans(emb, n_centroids=4, iters=2, seed=5)
+    cent = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cb)], "centroid_id int, cvec array<double>"
+    )
+    lists_path = os.path.join(tmp, "ivf_lists")
+    ivf_assign(emb, cent).write.partitionBy("centroid_id").parquet(lists_path)
+    qv = spark.createDataFrame(
+        [(0, emb.limit(1).collect()[0]["embedding"])], "query_id long, qvec array<double>"
+    )
+    sections.append(
+        (
+            "IVF top-k from PERSISTED inverted lists (r6)",
+            "The probed centroid ids (tiny driver-side list) become a "
+            "PartitionFilters predicate on the centroid_id-partitioned lists "
+            "— unprobed list directories are never read; the re-rank join is "
+            "a broadcast hash join of the per-query probes against only the "
+            "probed lists' rows.",
+            ivf_topk_from_lists(
+                spark.read.parquet(lists_path), qv, cent, k=5, n_probe=2
+            ),
+        )
+    )
+
     out = ["# BENCH/PLANS.md — formatted physical plans (captured by tools/capture_plans.py)\n"]
     for title, note, df in sections:
         out.append(f"## {title}\n\n{note}\n\n```\n{_formatted(spark, df).strip()}\n```\n")
