@@ -119,6 +119,7 @@ def main() -> None:
     diagnostics: dict[str, object] = {
         "auto_path": plan_box["path"],
         "dispatch": dict(plan_box),
+        "new_rows_r6": ["ir_positional_build", "ir_phrase_stored_batch4"],
     }
 
     def bench_wand():
@@ -135,6 +136,38 @@ def main() -> None:
     diagnostics["raw_brute_stored_batch50_sec"] = round(
         timed_best(bench_brute_stored), 3
     )
+
+    # -- q3b (r6): positional pack + stored phrase serving -------------------
+    # NOTE new rows in r6 (the round's headliner capability): the headline
+    # total is therefore NOT comparable to BENCH_r05 totals; per-row
+    # comparisons remain valid. Pack timing executes the full positional
+    # plan; the serve row reads from partitioned parquet so term_bucket
+    # partition pruning is exercised exactly as in production.
+    from goldenretriever_spark.index.positions import pack_positional_blocks
+    from goldenretriever_spark.query.phrase import phrase_match_stored_batch
+
+    POS_CACHE = f"/tmp/gr_bench_posblocks_{BENCH_DOCS}"
+
+    def bench_pos_pack():
+        pack_positional_blocks(docs, postings=idx.postings).count()
+
+    timings["ir_positional_build"] = timed_best(bench_pos_pack)
+    if not os.path.exists(os.path.join(POS_CACHE, "_SUCCESS")):
+        pack_positional_blocks(docs, postings=idx.postings).write.mode(
+            "overwrite"
+        ).partitionBy("term_bucket").parquet(POS_CACHE)
+    pos_blocks = spark.read.parquet(POS_CACHE)
+    phrase_batch = [
+        (0, ["def", "return"]),
+        (1, ["#", "todo"]),
+        (2, ["import", "os"]),
+        (3, ["def", "return", "import"]),
+    ]
+
+    def bench_phrase_stored():
+        phrase_match_stored_batch(pos_blocks, phrase_batch, n_term_buckets=64).count()
+
+    timings["ir_phrase_stored_batch4"] = timed_best(bench_phrase_stored)
 
     # -- q4: TPC-H-ish pricing summary (agg) over sf lineitem ----------------
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
