@@ -82,6 +82,19 @@ def incremental_postings_build(
             pass  # first batch: no store yet
         if not docs.take(1):
             return
+        if positional:
+            # Three consumers tokenize this batch (postings, doc_stats,
+            # positional pack) — materialize the deduped batch ONCE.
+            # localCheckpoint, NOT cache(): the docs plan anti-joins the
+            # doc_stats store this fold appends to, and a parquet append
+            # recaches-by-path every cached plan reading that path — the
+            # recache re-lists the files, sees the batch's own freshly
+            # appended doc_stats rows, and silently recaches `docs` as
+            # EMPTY (measured: batch 2's positional segment had 0 rows).
+            # localCheckpoint truncates lineage to the materialized RDD, so
+            # no parquet read remains in the plan and later consumers are
+            # immune to the invalidation.
+            docs = docs.localCheckpoint(eager=True)
         idx = build_index(docs, tokenizer=tokenizer, persist=False)
         idx.postings.write.mode("append").parquet(os.path.join(out_dir, "postings"))
         idx.doc_stats.write.mode("append").parquet(stats_path)
