@@ -280,6 +280,31 @@ class StoredIndex:
             self.positional_blocks, phrase, n_term_buckets=self.n_term_buckets
         )
 
+    def phrase_ranked(
+        self,
+        phrases: list[tuple[int, list[str]]],
+        k: int = 10,
+        boost: float = 1.0,
+    ) -> DataFrame:
+        """Phrase-boosted BM25 top-k served ENTIRELY from this stored index:
+        candidate scores decoded from the compressed posting blocks, exact
+        phrase occurrences from the persisted positional blocks, fused with
+        a saturating ln(1+occurrences) boost
+        (query/phrase.phrase_ranked_topk_stored)."""
+        from goldenretriever_spark.query.phrase import phrase_ranked_topk_stored
+
+        return phrase_ranked_topk_stored(
+            self.spark,
+            self.posting_blocks,
+            self.corpus_stats,
+            self.positional_blocks,
+            phrases,
+            k=k,
+            boost=boost,
+            n_term_buckets=self.n_term_buckets,
+            stats=self.stats,
+        )
+
     def proximity(self, terms: list[str], window: int) -> DataFrame:
         """Order-free proximity search from the persisted positional blocks
         (query/phrase.proximity_match_stored)."""

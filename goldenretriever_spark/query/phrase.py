@@ -410,6 +410,15 @@ def phrase_ranked_topk(
     occ = phrase_match_stored_batch(
         positional_blocks, phrases, n_term_buckets=n_term_buckets
     )
+    return _phrase_boost_rank(scored, occ, k, boost)
+
+
+def _phrase_boost_rank(
+    scored: DataFrame, occ: DataFrame, k: int, boost: float
+) -> DataFrame:
+    """Shared tail of the phrase-ranked paths: LEFT-join the occurrence
+    counts onto the full candidate scores, fold the saturating boost, rank.
+    The join is keyed (query_id, doc_id) over candidate-sized frames only."""
     boosted = scored.join(occ, ["query_id", "doc_id"], "left").withColumn(
         "score_q",
         F.round(
@@ -429,3 +438,40 @@ def phrase_ranked_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_q", "rank")
     )
+
+
+def phrase_ranked_topk_stored(
+    spark: SparkSession,
+    posting_blocks: DataFrame,
+    corpus_stats: DataFrame,
+    positional_blocks: DataFrame,
+    phrases: list[tuple[int, list[str]]],
+    k: int = 10,
+    boost: float = 1.0,
+    n_term_buckets: int | None = None,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Phrase-boosted ranked retrieval ENTIRELY from a persisted index —
+    BM25 candidate scores decoded from the compressed posting blocks
+    (query/wand.stored_score_candidates: bucket-pruned, no raw postings
+    table anywhere) fused with the batched stored-phrase occurrence vote.
+    Same contract and scores as :func:`phrase_ranked_topk` on the
+    equivalent in-memory index (identity-tested in tests/test_round6.py);
+    this is the variant a serving deployment runs (StoredIndex.phrase_ranked)."""
+    from goldenretriever_spark.query.wand import stored_score_candidates
+
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    scored = stored_score_candidates(
+        spark,
+        posting_blocks,
+        corpus_stats,
+        [(qid, " ".join(ph)) for qid, ph in phrases],
+        tokenizer="simple",
+        n_term_buckets=n_term_buckets,
+        stats=stats,
+    )
+    occ = phrase_match_stored_batch(
+        positional_blocks, phrases, n_term_buckets=n_term_buckets
+    )
+    return _phrase_boost_rank(scored, occ, k, boost)

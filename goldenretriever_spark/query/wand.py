@@ -91,6 +91,42 @@ def _exact_scores(decoded: DataFrame, avgdl: float) -> DataFrame:
     )
 
 
+def stored_score_candidates(
+    spark: SparkSession,
+    posting_blocks: DataFrame,
+    corpus_stats: DataFrame,
+    queries,
+    tokenizer: str = "simple",
+    n_term_buckets: int | None = None,
+    qterms: DataFrame | None = None,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score) over EVERY candidate doc from the stored
+    compressed blocks — the stored-path twin of bm25.score_candidates:
+    bucket-prune, decode the query terms' blocks, exact BM25 sums, no rank
+    cut. Consumers that need the full candidate scores (phrase-boosted
+    ranking, explain-style attribution) build on this; brute_top_k_stored
+    is exactly this + a window top-k."""
+    if stats is None:
+        row = corpus_stats.collect()[0]
+        stats = (int(row["n_docs"]), float(row["avgdl"]))
+    n_docs, avgdl = stats
+    if qterms is None:
+        qterms = query_terms_df(spark, queries, tokenizer)
+    if n_term_buckets and "term_bucket" in posting_blocks.columns:
+        buckets = [
+            r["b"]
+            for r in qterms.select(
+                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        ]
+        posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+    matched = posting_blocks.join(F.broadcast(qterms), "term").withColumn(
+        "idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double"))
+    )
+    return _exact_scores(_decode_matched(matched), avgdl)
+
+
 def brute_top_k_stored(
     spark: SparkSession,
     posting_blocks: DataFrame,
@@ -110,24 +146,10 @@ def brute_top_k_stored(
     already tokenized the batch (the dispatcher) pass it through; ``stats``
     is a pre-collected (n_docs, avgdl) so the dispatcher's corpus_stats read
     is not repeated here."""
-    if stats is None:
-        row = corpus_stats.collect()[0]
-        stats = (int(row["n_docs"]), float(row["avgdl"]))
-    n_docs, avgdl = stats
-    if qterms is None:
-        qterms = query_terms_df(spark, queries, tokenizer)
-    if n_term_buckets and "term_bucket" in posting_blocks.columns:
-        buckets = [
-            r["b"]
-            for r in qterms.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
-            ).distinct().collect()
-        ]
-        posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
-    matched = posting_blocks.join(F.broadcast(qterms), "term").withColumn(
-        "idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double"))
+    scores = stored_score_candidates(
+        spark, posting_blocks, corpus_stats, queries, tokenizer=tokenizer,
+        n_term_buckets=n_term_buckets, qterms=qterms, stats=stats,
     )
-    scores = _exact_scores(_decode_matched(matched), avgdl)
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scores.withColumn("rank", F.row_number().over(w_rank))

@@ -157,6 +157,36 @@ def test_phrase_batch_equals_per_phrase(spark):
     assert any(q == 0 for q, _, _ in got), "batch must have real matches"
 
 
+def test_phrase_ranked_stored_equals_inmemory(spark, tmp_path):
+    """StoredIndex.phrase_ranked (compressed blocks + persisted positional
+    blocks, no raw postings anywhere) must reproduce phrase_ranked_topk on
+    the equivalent in-memory index exactly — same quantized scores, ranks,
+    tie-breaks."""
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index, with_doc_ids
+    from goldenretriever_spark.index.positions import pack_positional_blocks
+    from goldenretriever_spark.index.storage import StoredIndex, write_index
+    from goldenretriever_spark.query.phrase import phrase_ranked_topk
+
+    docs = with_doc_ids(spark.createDataFrame(corpus.synth_corpus_pandas(150, seed=13)))
+    idx = build_index(docs, tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=32, target_docs_per_group=1000, n_term_buckets=8)
+    pos = pack_positional_blocks(docs, postings=idx.postings, n_term_buckets=8)
+    idx_path = str(tmp_path / "idx")
+    write_index(idx, idx_path, blocks=blocks, n_term_buckets=8, positional=pos)
+    stored = StoredIndex(spark, idx_path)
+
+    phrases = [(0, ["def", "return"]), (1, ["#", "todo"]), (2, ["zzz_absent"])]
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["doc_id"], r["score_q"]) for r in df.collect()
+    )
+    want = key(phrase_ranked_topk(idx, pos, phrases, k=5, n_term_buckets=8))
+    got = key(stored.phrase_ranked(phrases, k=5))
+    assert got == want
+    assert any(q == 0 for q, _, _, _ in got)
+
+
 # ---------------------------------------------------------------------------
 # streamed positional segments (VERDICT r5 #8)
 # ---------------------------------------------------------------------------
