@@ -350,6 +350,35 @@ def _ir_phrase_ranked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_ranked_topk(idx, blocks, PHRASE_QUERIES, k=K, boost=1.0)
 
 
+# Fixed boolean queries (must / should / must_not) for the contract row —
+# Lucene BooleanQuery semantics over the stored compressed posting blocks.
+BOOLEAN_QUERIES: list[tuple[int, dict]] = [
+    (1, {"must": ["def", "return"], "must_not": ["todo"]}),
+    (2, {"should": ["hash", "join", "merge"], "min_should_match": 2}),
+    (3, {"must": ["import"], "should": ["os", "sys"]}),
+]
+
+
+def _ir_boolean_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean retrieval from the stored posting blocks (beyond parity —
+    the reference has no boolean surface): must = conjunction, should with
+    min_should_match, must_not anti-joined; doc-id-only decode, term_bucket
+    pruning (query/boolean.boolean_match_stored)."""
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.query.boolean import boolean_match_stored
+
+    idx = build_index(_documents(spark, sf_dir), tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=16, target_docs_per_group=200)
+    outs = [
+        boolean_match_stored(blocks, **spec).select(
+            F.lit(bid).cast("long").alias("bq_id"), "doc_id", "n_should_hit"
+        )
+        for bid, spec in BOOLEAN_QUERIES
+    ]
+    return reduce(DataFrame.unionByName, outs)
+
+
 def _kb_build_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kb data model end-to-end (SURVEY §2.1 S1-S4, §2.3 J1-J2): synthesize
     QA pairs from documents (query = first 3 tokens), build the kb tables
@@ -913,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup.q_simhash,
         "dedup_minhash_signatures": dedup.q_minhash_signatures,
         "txt_quality_score": textstats.q_quality_score,
+        "ir_boolean_match": _ir_boolean_match,
     }
 
 
@@ -1166,6 +1196,49 @@ WHERE n_windows > 0
 """
 
 
+def _boolean_match_sql() -> str:
+    """Membership-algebra twin of _ir_boolean_match, generated from
+    BOOLEAN_QUERIES so both engines share one query definition: must =
+    list_has_all, should hits = sum of list_contains, must_not = NOT
+    list_contains; min_should_match filters when set (default 1 for pure
+    disjunctions, 0 when must clauses exist)."""
+    arms = []
+    for bid, spec in BOOLEAN_QUERIES:
+        must = sorted(set(spec.get("must") or []))
+        should = sorted(set(spec.get("should") or []))
+        must_not = sorted(set(spec.get("must_not") or []))
+        msm = spec.get("min_should_match")
+        if msm is None:
+            msm = 1 if not must else 0
+        conds = []
+        if must:
+            lit = "[" + ", ".join(f"'{t}'" for t in must) + "]"
+            conds.append(f"list_has_all(tk, {lit})")
+        for t in must_not:
+            conds.append(f"NOT list_contains(tk, '{t}')")
+        if should:
+            nsh = " + ".join(
+                f"CASE WHEN list_contains(tk, '{t}') THEN 1 ELSE 0 END"
+                for t in should
+            )
+        else:
+            nsh = "0"
+        if msm > 0:
+            conds.append(f"({nsh}) >= {msm}")
+        where = " AND ".join(conds) if conds else "TRUE"
+        arms.append(
+            f"SELECT CAST({bid} AS BIGINT) AS bq_id, doc_id, "
+            f"CAST({nsh} AS BIGINT) AS n_should_hit FROM tkd WHERE {where}"
+        )
+    union = "\n  UNION ALL\n  ".join(arms)
+    return f"""
+WITH tkd AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '{_WS}'), x -> x <> '') AS tk
+  FROM documents)
+{union}
+"""
+
+
 def _ir_oracles() -> dict[str, str]:
     return {
         "src_parse_files": _src_parse_files_sql(),
@@ -1320,4 +1393,5 @@ SELECT n_docs, CAST(round(avgdl * 10000) AS BIGINT) AS avgdl_q FROM corpus
         "ir_phrase_match": _phrase_match_sql(),
         "ir_proximity_match": _proximity_match_sql(),
         "ir_phrase_ranked_topk": _phrase_ranked_sql(),
+        "ir_boolean_match": _boolean_match_sql(),
     }

@@ -280,6 +280,27 @@ class StoredIndex:
             self.positional_blocks, phrase, n_term_buckets=self.n_term_buckets
         )
 
+    def boolean(
+        self,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should_match: int | None = None,
+    ) -> DataFrame:
+        """Boolean retrieval (must/should/must_not, Lucene BooleanQuery
+        semantics) from the compressed posting blocks — bucket-pruned,
+        doc-id-only decode (query/boolean.boolean_match_stored)."""
+        from goldenretriever_spark.query.boolean import boolean_match_stored
+
+        return boolean_match_stored(
+            self.posting_blocks,
+            must=must,
+            should=should,
+            must_not=must_not,
+            min_should_match=min_should_match,
+            n_term_buckets=self.n_term_buckets,
+        )
+
     def phrase_ranked(
         self,
         phrases: list[tuple[int, list[str]]],

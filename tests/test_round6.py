@@ -157,6 +157,65 @@ def test_phrase_batch_equals_per_phrase(spark):
     assert any(q == 0 for q, _, _ in got), "batch must have real matches"
 
 
+def test_boolean_match_stored_semantics(spark):
+    """Boolean retrieval over packed blocks vs a direct token-membership
+    recomputation: conjunction, disjunction with min_should_match, negation,
+    and the must+should hit-count case."""
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index, with_doc_ids
+    from goldenretriever_spark.query.boolean import boolean_match_stored
+    from goldenretriever_spark.tokenizer import simple_tokens
+
+    docs = with_doc_ids(spark.createDataFrame(corpus.synth_corpus_pandas(150, seed=5)))
+    idx = build_index(docs, tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=16, target_docs_per_group=200, n_term_buckets=8).cache()
+    tk = docs.select("doc_id", simple_tokens(F.col("content")).alias("tk")).cache()
+
+    def truth(must=(), should=(), must_not=(), msm=None):
+        if msm is None:
+            msm = 1 if not must else 0
+        nsh = None
+        for t in should:
+            c = F.array_contains("tk", t).cast("long")
+            nsh = c if nsh is None else nsh + c
+        nsh = nsh if nsh is not None else F.lit(0).cast("long")
+        cond = F.lit(True)
+        for t in must:
+            cond = cond & F.array_contains("tk", t)
+        for t in must_not:
+            cond = cond & ~F.array_contains("tk", t)
+        out = tk.withColumn("n_should_hit", nsh).filter(cond)
+        if msm > 0:
+            out = out.filter(F.col("n_should_hit") >= msm)
+        return sorted((r["doc_id"], r["n_should_hit"]) for r in out.collect())
+
+    cases = [
+        dict(must=["def", "return"], must_not=["todo"]),
+        dict(should=["def", "import", "return"], min_should_match=2),
+        dict(must=["import"], should=["os", "sys"]),
+        dict(should=["zzz_absent", "def"]),  # disjunction default msm=1
+    ]
+    for spec in cases:
+        got = sorted(
+            (r["doc_id"], r["n_should_hit"])
+            for r in boolean_match_stored(blocks, n_term_buckets=8, **spec).collect()
+        )
+        want = truth(
+            spec.get("must", ()), spec.get("should", ()), spec.get("must_not", ()),
+            spec.get("min_should_match"),
+        )
+        assert got == want, spec
+        assert got, f"case must be non-trivial: {spec}"
+
+    with pytest.raises(ValueError):
+        boolean_match_stored(blocks, must_not=["def"])
+    with pytest.raises(ValueError):
+        boolean_match_stored(blocks, should=["a"], min_should_match=2)
+    blocks.unpersist()
+    tk.unpersist()
+
+
 def test_phrase_ranked_stored_equals_inmemory(spark, tmp_path):
     """StoredIndex.phrase_ranked (compressed blocks + persisted positional
     blocks, no raw postings anywhere) must reproduce phrase_ranked_topk on
