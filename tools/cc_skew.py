@@ -5,11 +5,11 @@
 groupBy-min pre-combines a hot root's neighborhood map-side, where the
 pointer-doubling label join concentrates on few label values. Both variants
 were only identity-tested on small graphs; this tool measures the claim on a
-deterministic 1M-edge graph with a 500k-node giant component:
+deterministic 750k-edge / 1M-node graph with a 500k-node giant component:
 
   - 400k hub spokes  (i, 0)          — extreme degree skew on node 0
   - 100k chain links (i, i-1)        — depth that forces real rounds
-  - 500k disjoint pairs              — background of tiny components
+  - 250k disjoint pair edges         — background of tiny components
 
 Records wall time (best of --runs), rounds to fixpoint, and per-variant
 shuffle rows (stage-level shuffle write records diffed via the Spark UI REST
@@ -34,7 +34,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 N_SPOKES = 400_000
 N_CHAIN = 100_000
-N_PAIRS = 250_000  # 500k edges
+N_PAIRS = 250_000  # 250k pair edges, 500k nodes
 PAIR_BASE = 10_000_000
 
 
@@ -130,8 +130,8 @@ def main() -> None:
         },
         "identical_labels": True,
         "note": (
-            "1M-edge deterministic graph: 400k spokes on hub 0 + 100k chain "
-            "+ 250k disjoint pairs; giant component = 500,001 nodes. "
+            "750k-edge / 1M-node deterministic graph: 400k spokes on hub 0 + "
+            "100k chain + 250k disjoint pairs; giant component = 500,001 nodes. "
             "shuffle_write_records = UI REST stage totals diffed around each "
             "timed run (best run's diff; includes the variant's full "
             "iteration loop)."
