@@ -167,6 +167,7 @@ class StoredIndex:
         tokenizer: str = "simple",
         documents: DataFrame | None = None,
         with_plan: bool = False,
+        content_pushdown: bool = False,
     ):
         """Top-k over this stored index with measured brute/WAND dispatch and
         the persisted term-bucket count for partition pruning — the one-call
@@ -185,7 +186,16 @@ class StoredIndex:
         real warehouse the doc table is bucketed by doc_id (write_bucketed)
         so only the tiny ranked side exchanges; an unbucketed sandbox table
         pays one corpus shuffle here. ``with_plan=True`` also returns
-        the dispatch record (tools/serve_demo.py logs it)."""
+        the dispatch record (tools/serve_demo.py logs it).
+
+        ``content_pushdown=True`` (needs ``documents``) trades laziness for
+        interactive latency: the ranked frame is materialized FIRST, the
+        n_queries x k doc ids are collected (tiny), and the documents scan
+        gets an explicit ``doc_id IN (...)`` predicate — parquet row-group
+        min/max pruning skips everything else instead of streaming the full
+        table behind the broadcast join (the 1.39 s single-query join-back
+        measured in BENCH/SERVE_LATENCY.json). Results are identical to the
+        lazy path (tests/test_round6.py)."""
         from goldenretriever_spark.query.wand import dispatch_top_k
 
         ranked, plan = dispatch_top_k(
@@ -199,6 +209,11 @@ class StoredIndex:
             stats=self.stats,
         )
         if documents is not None:
+            if content_pushdown:
+                rows = ranked.collect()
+                ids = sorted({r["doc_id"] for r in rows})
+                ranked = self.spark.createDataFrame(rows, schema=ranked.schema)
+                documents = documents.filter(F.col("doc_id").isin(ids))
             ranked = (
                 ranked.join(documents, "doc_id", "left")
                 .select(
