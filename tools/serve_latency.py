@@ -92,6 +92,11 @@ def main() -> None:
     t_content = best(
         lambda: stored.search(qlist[:1], k=10, documents=docs).collect()
     )
+    t_content_pd = best(
+        lambda: stored.search(
+            qlist[:1], k=10, documents=docs, content_pushdown=True
+        ).collect()
+    )
     t_batch = best(lambda: stored.search(qlist, k=10).collect())
 
     out = {
@@ -105,6 +110,7 @@ def main() -> None:
         "single_query_ranked_sec": round(t_ranked, 3),
         "single_query_content_sec": round(t_content, 3),
         "content_joinback_sec": round(t_content - t_ranked, 3),
+        "single_query_content_pushdown_sec": round(t_content_pd, 3),
         "batch50_ranked_sec": round(t_batch, 3),
         "per_query_amortized_sec": round(t_batch / 50, 3),
         "note": (
