@@ -193,7 +193,7 @@ def main() -> None:
         "hybrid_equals_rrf_of_legs": True,
         "note": (
             "legs and fused path timed on the same warm session; "
-            "fusion overhead ~0 means the fused plan just chains the legs "
+            "fusion overhead vs the legs' sum is the dispatch probe + plan compile repeated in the one-call path "
             "(plan appended to BENCH/PLANS.md). brute_vector is the full "
             "3.84M x 50 cosine crossJoin the IVF lists avoid."
         ),
