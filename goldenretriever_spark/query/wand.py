@@ -160,14 +160,17 @@ def brute_top_k_stored(
 
 # Measured brute-stored vs WAND crossover on the bench host, in estimated
 # DECODE ROWS PER QUERY (Σ df over the query's terms) — the signal that
-# actually tracks pruning payoff, not corpus size alone. Calibrated against
-# BENCH/WAND_SWEEP.json + the per-query Σdf of each sweep batch:
-#   ~3.4M rows/query  -> WAND 0.87-0.97x (1-term @3.84M docs, ref batch
-#                        @1.92M docs — both lose or wash)
-#   ~6.9M rows/query  -> WAND 1.6-1.7x  (5-term @3.84M docs)
-# Below the crossover the θ-seeding pass, bound joins and survivor blob
-# join-back cost more than the skipped decodes save. k shifts the edge only
-# mildly (k=100: 0.95x vs 1.7x — same side of this threshold).
+# actually tracks pruning payoff, not corpus size alone. Recalibrated on the
+# r6 sweep (BENCH/WAND_SWEEP.json, shipped r6 dispatch — VERDICT r5 #5):
+#   ~3.8M rows/query  -> WAND 0.87-0.92x (1-term @3.84M docs: brute 41.7s
+#                        vs WAND 45.5s; auto routes brute and runs 34.8s)
+#   ~6.6M rows/query  -> WAND 1.7-2.3x  (5-term @3.84M docs: brute 139.9s
+#                        vs WAND 61.2s; auto routes wand and runs 64.3s)
+# The sign flips between those measured points at every k; 4.5M remains the
+# midpoint calibration and both routing directions are re-verified on the
+# r6 cells. Below the crossover the θ-seeding pass, bound joins and
+# survivor blob join-back cost more than the skipped decodes save; k shifts
+# the edge only mildly (k=100: 0.87x vs 1.74x — same side).
 WAND_CROSSOVER_DECODE_ROWS = 4_500_000
 
 # Batch routing signal: the SHARE of estimated decode volume sitting in
