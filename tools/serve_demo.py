@@ -85,6 +85,17 @@ def main() -> None:
     t_single, r_single, _ = best(
         lambda: stored.search(qlist[:1], k=10, documents=docs, with_plan=True)
     )
+    # r6: the interactive path — ranked ids collected, doc_id IN (...)
+    # pushed into the documents scan (row-group pruning, no full stream)
+    t_single_pd, r_single_pd, _ = best(
+        lambda: stored.search(
+            qlist[:1], k=10, documents=docs, with_plan=True,
+            content_pushdown=True,
+        )
+    )
+    assert sorted(
+        (r["query_id"], r["rank"], r["doc_id"]) for r in r_single_pd
+    ) == sorted((r["query_id"], r["rank"], r["doc_id"]) for r in r_single)
 
     # per-row invariant: returned content is the corpus row (sha256 equality)
     sample = r_content[0]
@@ -109,6 +120,7 @@ def main() -> None:
         "batch50_ranked_sec": round(t_ranked, 2),
         "batch50_content_sec": round(t_content, 2),
         "single_query_content_sec": round(t_single, 2),
+        "single_query_content_pushdown_sec": round(t_single_pd, 2),
         "content_joinback_overhead_sec": round(t_content - t_ranked, 2),
         "dispatch": plan_content,
         "rows_returned": len(r_content),
