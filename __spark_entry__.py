@@ -350,6 +350,38 @@ def _ir_phrase_ranked_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_ranked_topk(idx, blocks, PHRASE_QUERIES, k=K, boost=1.0)
 
 
+# Boolean filter for the filtered-retrieval contract row (shared by the
+# Spark query and the generated oracle): docs must contain 'hash' and must
+# not contain 'merge' — both common in the driver corpus (394/393 of 500
+# docs at sf0.01), so the filter is selective yet leaves real matches.
+FILTER_MUST = ["hash"]
+FILTER_MUST_NOT = ["merge"]
+
+
+def _ir_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k under a boolean filter (ES bool{filter,must_not}+match
+    shape; query/boolean.filtered_top_k): the filter prunes candidates
+    BEFORE ranking, so the k returned are the k best qualifying docs —
+    not a post-filter of the unfiltered top-k."""
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index
+    from goldenretriever_spark.query.boolean import filtered_top_k
+
+    idx = build_index(_documents(spark, sf_dir), tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=16, target_docs_per_group=200)
+    res = filtered_top_k(
+        spark, blocks, idx.corpus_stats, FLAGSHIP_QUERIES, k=K,
+        must=FILTER_MUST, must_not=FILTER_MUST_NOT,
+    )
+    scored = res.withColumn("score_q", F.round(F.col("score") * 10000).cast("long"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= K)
+        .select("query_id", "doc_id", "score_q", "rank")
+    )
+
+
 # Fixed boolean queries (must / should / must_not) for the contract row —
 # Lucene BooleanQuery semantics over the stored compressed posting blocks.
 BOOLEAN_QUERIES: list[tuple[int, dict]] = [
@@ -943,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": dedup.q_minhash_signatures,
         "txt_quality_score": textstats.q_quality_score,
         "ir_boolean_match": _ir_boolean_match,
+        "ir_filtered_topk": _ir_filtered_topk,
     }
 
 
@@ -1239,6 +1272,51 @@ WITH tkd AS (
 """
 
 
+def _filtered_topk_sql() -> str:
+    """Twin of _ir_filtered_topk: the bm25_topk scored CTE semi-joined to
+    the membership filter (derived from postings, exactly the index path's
+    source of truth) BEFORE the rank window — filter-then-rank, never
+    rank-then-filter."""
+    must_join = "\n  ".join(
+        f"JOIN (SELECT DISTINCT doc_id FROM postings WHERE term = '{t}') m{i} USING (doc_id)"
+        for i, t in enumerate(sorted(set(FILTER_MUST)))
+    )
+    not_cond = " AND ".join(
+        f"doc_id NOT IN (SELECT doc_id FROM postings WHERE term = '{t}')"
+        for t in sorted(set(FILTER_MUST_NOT))
+    ) or "TRUE"
+    return f"""
+WITH {_TOKS_CTE},
+qterms(query_id, term) AS (VALUES {_queries_values_sql()}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (c.n_docs - t.df + 0.5) / (t.df + 0.5))
+            * (p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.doc_len / c.avgdl))) ) AS score
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN term_stats t ON p.term = t.term
+  JOIN doc_stats d ON p.doc_id = d.doc_id
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+kept AS (
+  SELECT s.* FROM scored s
+  {must_join}
+  WHERE {not_cond}
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         CAST(round(score * 10000) AS BIGINT) AS score_q,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(round(score * 10000) AS BIGINT) DESC, doc_id ASC
+         ) AS rank
+  FROM kept
+)
+SELECT query_id, doc_id, score_q, rank FROM ranked WHERE rank <= {K}
+"""
+
+
 def _ir_oracles() -> dict[str, str]:
     return {
         "src_parse_files": _src_parse_files_sql(),
@@ -1394,4 +1472,5 @@ SELECT n_docs, CAST(round(avgdl * 10000) AS BIGINT) AS avgdl_q FROM corpus
         "ir_proximity_match": _proximity_match_sql(),
         "ir_phrase_ranked_topk": _phrase_ranked_sql(),
         "ir_boolean_match": _boolean_match_sql(),
+        "ir_filtered_topk": _filtered_topk_sql(),
     }

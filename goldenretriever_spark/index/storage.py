@@ -316,6 +316,36 @@ class StoredIndex:
             n_term_buckets=self.n_term_buckets,
         )
 
+    def search_filtered(
+        self,
+        queries,
+        k: int = 10,
+        must: list[str] | None = None,
+        should: list[str] | None = None,
+        must_not: list[str] | None = None,
+        min_should_match: int | None = None,
+        tokenizer: str = "simple",
+    ) -> DataFrame:
+        """BM25 top-k restricted to docs satisfying a boolean filter — the
+        filter prunes the candidate set BEFORE ranking, so the k returned
+        are the k best qualifying docs (query/boolean.filtered_top_k)."""
+        from goldenretriever_spark.query.boolean import filtered_top_k
+
+        return filtered_top_k(
+            self.spark,
+            self.posting_blocks,
+            self.corpus_stats,
+            queries,
+            k=k,
+            must=must,
+            should=should,
+            must_not=must_not,
+            min_should_match=min_should_match,
+            tokenizer=tokenizer,
+            n_term_buckets=self.n_term_buckets,
+            stats=self.stats,
+        )
+
     def phrase_ranked(
         self,
         phrases: list[tuple[int, list[str]]],

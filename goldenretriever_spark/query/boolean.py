@@ -138,3 +138,65 @@ def boolean_match_stored(
         ).distinct()
         out = out.join(excl, "doc_id", "left_anti")
     return out
+
+
+def filtered_top_k(
+    spark,
+    posting_blocks: DataFrame,
+    corpus_stats: DataFrame,
+    queries,
+    k: int = 10,
+    must: list[str] | None = None,
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    min_should_match: int | None = None,
+    tokenizer: str = "simple",
+    n_term_buckets: int | None = None,
+    stats: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Ranked retrieval under a boolean filter — Elasticsearch's
+    ``bool{filter, must_not} + match`` shape, the most common production
+    query form the reference's pure-similarity path cannot express.
+
+    Semantics: the filter restricts the CANDIDATE SET BEFORE ranking (a doc
+    failing the filter can never appear, and the returned top-k are the k
+    best among qualifying docs — not a post-filter of an unfiltered top-k,
+    which can return fewer than k). Scores are unchanged by the filter
+    (ES filter-context: no score contribution).
+
+    Plan: BM25 candidate scores from the compressed blocks
+    (wand.stored_score_candidates) LEFT-SEMI joined to the boolean doc set
+    (:func:`boolean_match_stored`) on doc_id, then the per-query window
+    top-k. Both legs are bucket-pruned to their own terms; the semi-join
+    keys on doc_id over candidate-sized frames only.
+
+    Returns (query_id, doc_id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    from goldenretriever_spark.query.wand import stored_score_candidates
+
+    scored = stored_score_candidates(
+        spark,
+        posting_blocks,
+        corpus_stats,
+        queries,
+        tokenizer=tokenizer,
+        n_term_buckets=n_term_buckets,
+        stats=stats,
+    )
+    allowed = boolean_match_stored(
+        posting_blocks,
+        must=must,
+        should=should,
+        must_not=must_not,
+        min_should_match=min_should_match,
+        n_term_buckets=n_term_buckets,
+    ).select("doc_id")
+    kept = scored.join(allowed, "doc_id", "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -247,6 +247,64 @@ def test_boolean_match_stored_semantics(spark):
     tk.unpersist()
 
 
+def test_filtered_top_k_semantics(spark, tmp_path):
+    """Filter-BEFORE-rank: the returned top-k must equal ranking the full
+    candidate score set restricted to boolean-qualifying docs — and must
+    DIFFER from post-filtering the unfiltered top-k when the filter is
+    selective (the semantic the function exists for)."""
+    from goldenretriever_spark import corpus
+    from goldenretriever_spark.index.blocks import pack_blocks
+    from goldenretriever_spark.index.build import build_index, with_doc_ids
+    from goldenretriever_spark.index.storage import StoredIndex, write_index
+    from goldenretriever_spark.query import bm25
+    from goldenretriever_spark.tokenizer import simple_tokens
+
+    docs = with_doc_ids(spark.createDataFrame(corpus.synth_corpus_pandas(200, seed=8)))
+    idx = build_index(docs, tokenizer="simple")
+    blocks = pack_blocks(idx, block_size=32, target_docs_per_group=1000, n_term_buckets=8)
+    idx_path = str(tmp_path / "idx")
+    write_index(idx, idx_path, blocks=blocks, n_term_buckets=8)
+    stored = StoredIndex(spark, idx_path)
+
+    qlist = [(0, "def return"), (1, "import os")]
+    must, must_not = ["todo"], ["hash"]
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in stored.search_filtered(qlist, k=5, must=must, must_not=must_not).collect()
+    )
+
+    # truth: full candidate scores, token-membership filter, re-rank
+    from pyspark.sql import Window
+
+    terms = bm25.query_terms_df(spark, qlist, tokenizer="simple")
+    scored = bm25.score_candidates(idx, terms)
+    tk = docs.select("doc_id", simple_tokens(F.col("content")).alias("tk"))
+    ok = tk.filter(
+        F.array_contains("tk", must[0]) & ~F.array_contains("tk", must_not[0])
+    ).select("doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    want = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+        for r in scored.join(ok, "doc_id", "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert got == want
+    assert got, "filter must leave real matches"
+
+    # filter-then-rank differs from rank-then-filter on a selective filter
+    unfiltered = stored.search(qlist, k=5)
+    post = sorted(
+        (r["query_id"], r["doc_id"])
+        for r in unfiltered.join(ok, "doc_id", "left_semi").collect()
+    )
+    assert post != [(q, d) for q, _, d, _ in got], (
+        "test filter is not selective enough to distinguish the semantics"
+    )
+
+
 def test_phrase_ranked_stored_equals_inmemory(spark, tmp_path):
     """StoredIndex.phrase_ranked (compressed blocks + persisted positional
     blocks, no raw postings anywhere) must reproduce phrase_ranked_topk on
