@@ -92,6 +92,7 @@ def pack_enriched(
     avgdl: float,
     block_size: int = BLOCK_SIZE,
     pack_partitions: int | None = None,
+    n_term_buckets: int = 64,
 ) -> DataFrame:
     """Enriched postings -> compressed posting_blocks.
 
@@ -102,6 +103,15 @@ def pack_enriched(
     overhead for every rare term — vocabularies are mostly df=1 tails, which
     made the pack stage the build bottleneck. Partition-wise packing does the
     same work in ~vocab/P numpy slices per task.)
+
+    Shuffle-byte discipline (r7, guide §2.3): ``term_bucket`` is a pure
+    function of ``term`` (pmod(xxhash64)), so it is recomputed on the packed
+    block rows (~|postings|/block_size of the input) by a plain projection
+    instead of riding the exchange and the Arrow boundary on every posting
+    row. ``df`` stays on the rows: re-attaching it post-pack would need a
+    vocab-sized broadcast join, which does not survive 100 TB vocabularies.
+    ``n_term_buckets`` must match the build-time bucket count (the
+    checkpointed builder passes its own).
 
     P (pack_partitions) bounds per-task memory: partitions hold
     ~|postings|/P rows; size it so a partition fits comfortably in a Python
@@ -125,7 +135,6 @@ def pack_enriched(
         tfs_all = pdf["tf"].to_numpy(dtype=np.int64)
         dls_all = pdf["doc_len"].to_numpy(dtype=np.int64)
         dfs_all = pdf["df"].to_numpy(dtype=np.int64)
-        tb_all = pdf["term_bucket"].to_numpy(dtype=np.int64)
         tf_norm_all = tfs_all / (tfs_all + K1 * (1.0 - B + B * dls_all / avgdl))
 
         n_rows = len(pdf)
@@ -169,15 +178,18 @@ def pack_enriched(
                 "dls_varint": varint_encode_grouped(
                     dls_all.astype(np.uint64), blk_starts, blk_ends
                 ),
-                "term_bucket": tb_all[blk_starts],
             }
         )
 
     return (
-        enriched.select("term", "salt", "doc_id", "tf", "doc_len", "df", "term_bucket")
+        enriched.select("term", "salt", "doc_id", "tf", "doc_len", "df")
         .repartition(P, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id")
-        .mapInPandas(pack_partition, schema=BLOCKS_SCHEMA + ", term_bucket int")
+        .mapInPandas(pack_partition, schema=BLOCKS_SCHEMA)
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"),
+        )
     )
 
 
@@ -194,6 +206,7 @@ def pack_blocks(
         enriched_postings(index, target_docs_per_group, n_term_buckets),
         avgdl,
         block_size,
+        n_term_buckets=n_term_buckets,
     )
 
 

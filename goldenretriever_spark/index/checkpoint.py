@@ -139,7 +139,8 @@ def build_resumable(
         tg = time.time()
         # partition-pruned read of just this group's buckets, then pack
         part = blocks.pack_enriched(
-            staged.filter(F.col("term_bucket").isin(group)), avgdl, block_size
+            staged.filter(F.col("term_bucket").isin(group)), avgdl, block_size,
+            n_term_buckets=n_term_buckets,
         )
         # dynamic overwrite scoped to THIS writer (not the shared session
         # conf): only this group's term_bucket partitions are replaced, and

@@ -119,11 +119,11 @@ def pack_positions(
             "salt",
             F.floor(F.col("u16") * F.col("n_salts") / F.lit(SALT_SPACE)).cast("int"),
         )
-        .withColumn(
-            "term_bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"),
-        )
-        .select("term", "salt", "doc_id", "pos", "term_bucket")
+        # shuffle-byte discipline (r7, guide §2.3): term_bucket is a pure
+        # function of term, so it is attached AFTER packing (block rows are
+        # ~1/block_docs of the position rows) instead of riding the exchange
+        # and the Arrow boundary on every token row
+        .select("term", "salt", "doc_id", "pos")
     )
 
     def pack_partition(batches):
@@ -137,7 +137,6 @@ def pack_positions(
         salts = pdf["salt"].to_numpy(dtype=np.int64)
         ids = pdf["doc_id"].to_numpy(dtype=np.int64)
         poss = pdf["pos"].to_numpy(dtype=np.int64)
-        tb = pdf["term_bucket"].to_numpy(dtype=np.int64)
         n_rows = len(pdf)
 
         # doc-run boundaries over the (term, salt, doc_id, pos)-sorted rows
@@ -154,7 +153,6 @@ def pack_positions(
         d_ids = ids[doc_starts]
         d_terms = terms[doc_starts]
         d_salts = salts[doc_starts]
-        d_tb = tb[doc_starts]
         nd = doc_starts.size
 
         # (term, salt) group boundaries at the doc level, then block split:
@@ -199,14 +197,18 @@ def pack_positions(
                 "positions_delta_varint": varint_encode_grouped(
                     pos_deltas, blk_r_starts, blk_r_ends
                 ),
-                "term_bucket": d_tb[blk_d_starts],
             }
         )
 
+    pack_schema = POS_BLOCKS_SCHEMA.rsplit(", term_bucket int", 1)[0]
     return (
         enriched.repartition(P, "term", "salt")
         .sortWithinPartitions("term", "salt", "doc_id", "pos")
-        .mapInPandas(pack_partition, schema=POS_BLOCKS_SCHEMA)
+        .mapInPandas(pack_partition, schema=pack_schema)
+        .withColumn(
+            "term_bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"),
+        )
     )
 
 
@@ -289,6 +291,94 @@ def decode_positions(blocks: DataFrame) -> DataFrame:
 
     return blocks.select(*cols).mapInPandas(
         unpack, schema="term string, doc_id long, pos long"
+    )
+
+
+def decode_phrase_votes(
+    blocks: DataFrame, phrases: list[tuple[int, list[str]]]
+) -> DataFrame:
+    """Positional blocks -> phrase start-votes ``(query_id, doc_id, start)``
+    in ONE worker pass (r7, guide §4.2).
+
+    Fuses :func:`decode_positions` with the vote expansion that used to be a
+    JVM broadcast join: each decoded position of term t emits one row per
+    (query_id, offset) pair whose phrase contains t, with
+    ``start = pos - offset``. Exactly the row multiset the join produced
+    (same uniqueness argument: (start, offset) determines pos), but term
+    strings never cross Arrow back to the JVM and the downstream plan needs
+    no join — callers repartition by (query_id, doc_id) once and run both
+    vote aggregations exchange-free (query/phrase.phrase_match_stored_batch).
+
+    The expansion loop is per (term, query, offset) — bounded by the QUERY
+    batch size, never by data volume; inside it everything is whole-array
+    numpy over the term's decoded positions.
+    """
+    term2qo: dict[str, list[tuple[int, int]]] = {}
+    for qid, ph in phrases:
+        for off, t in enumerate(ph):
+            term2qo.setdefault(t, []).append((qid, off))
+
+    cols = [
+        "term",
+        "doc_ids_delta_varint",
+        "pos_counts_varint",
+        "positions_delta_varint",
+    ]
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            id_deltas, docs_per_block = varint_decode_many(
+                [bytes(b) for b in pdf["doc_ids_delta_varint"]]
+            )
+            docs_per_block = docs_per_block.astype(np.int64)
+            ids = delta_decode_grouped(id_deltas, docs_per_block)
+            cnts, _ = varint_decode_many([bytes(b) for b in pdf["pos_counts_varint"]])
+            cnts_i = cnts.astype(np.int64)
+            pos_deltas, _ = varint_decode_many(
+                [bytes(b) for b in pdf["positions_delta_varint"]]
+            )
+            positions = delta_decode_grouped(pos_deltas, cnts_i)
+            doc_per_pos = np.repeat(ids, cnts_i)
+            if doc_per_pos.size == 0:
+                continue
+            # positions per block = Σ per-doc counts, segmented by block
+            block_doc_starts = np.zeros(docs_per_block.size, dtype=np.int64)
+            np.cumsum(docs_per_block[:-1], out=block_doc_starts[1:])
+            pos_per_block = np.add.reduceat(cnts_i, block_doc_starts)
+            # per-term position slices via a term-code indirection (no
+            # per-position string materialization)
+            term_codes, uniq_terms = pd.factorize(pdf["term"])
+            code_per_pos = np.repeat(term_codes, pos_per_block)
+            q_parts: list[np.ndarray] = []
+            d_parts: list[np.ndarray] = []
+            s_parts: list[np.ndarray] = []
+            for code, term in enumerate(uniq_terms):
+                pairs = term2qo.get(term)
+                if not pairs:
+                    continue
+                mask = code_per_pos == code
+                t_pos = positions[mask]
+                t_doc = doc_per_pos[mask]
+                if t_pos.size == 0:
+                    continue
+                for qid, off in pairs:
+                    q_parts.append(np.full(t_pos.size, qid, dtype=np.int64))
+                    d_parts.append(t_doc)
+                    s_parts.append(t_pos - off)
+            if not q_parts:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(q_parts),
+                    "doc_id": np.concatenate(d_parts),
+                    "start": np.concatenate(s_parts),
+                }
+            )
+
+    return blocks.select(*cols).mapInPandas(
+        gen, schema="query_id long, doc_id long, start long"
     )
 
 

@@ -34,13 +34,30 @@ from goldenretriever_spark.tokenizer import tokens_column
 
 def query_terms_df(spark: SparkSession, queries, tokenizer: str = "simple") -> DataFrame:
     """queries: DataFrame(query_id, query_str) or list[(id, str)] ->
-    (query_id, term) with unique terms per query (BM25 dedups query terms)."""
-    if not isinstance(queries, DataFrame):
-        queries = spark.createDataFrame(queries, "query_id long, query_str string")
-    return (
-        queries.select("query_id", F.explode(tokens_column(F.col("query_str"), tokenizer)).alias("term"))
-        .dropDuplicates(["query_id", "term"])
-    )
+    (query_id, term) with unique terms per query (BM25 dedups query terms).
+
+    List-typed batches tokenize ON THE DRIVER with the oracle twin of the
+    engine tokenizer (equality-tested per input class, tests/test_round2) —
+    a query batch is tiny, and the createDataFrame -> explode ->
+    dropDuplicates plan it replaces paid a full shuffle + two stages inside
+    EVERY query call (r7, guide §2.4: remove shuffles outright). DataFrame
+    inputs (unknown size) keep the distributed plan."""
+    if isinstance(queries, DataFrame):
+        return (
+            queries.select(
+                "query_id",
+                F.explode(tokens_column(F.col("query_str"), tokenizer)).alias("term"),
+            )
+            .dropDuplicates(["query_id", "term"])
+        )
+    from goldenretriever_spark.oracle import tokenize
+
+    rows = [
+        (int(qid), t)
+        for qid, qstr in queries
+        for t in dict.fromkeys(tokenize(qstr, tokenizer))
+    ]
+    return spark.createDataFrame(rows, "query_id long, term string")
 
 
 def idf_col(n_docs: Column, df: Column) -> Column:
@@ -60,14 +77,32 @@ def explain_contributions(index: InvertedIndex, terms: DataFrame) -> DataFrame:
     delta and falls out of the scoring join for free:
     (query_id, doc_id, term, contribution) with
     score(q,d) = Σ_term contribution.
+
+    Plan shape (r7, guide §3.1/§2.3): all the small-side work — term_stats
+    lookup, corpus_stats cross, idf — happens on the TINY (query_id, term)
+    frame BEFORE it is broadcast, so the 10^6..10^12-row postings scan
+    passes through exactly ONE BroadcastHashJoin instead of three join
+    operators (two BHJ probes + a BroadcastNestedLoopJoin per posting row
+    in the r6 plan). idf is the same Catalyst expression over the same
+    doubles, just evaluated on the broadcast side — contributions are
+    bit-identical (rank-identity suite + oracle hash unchanged).
     """
-    matched = index.postings.join(F.broadcast(terms), "term")
     stats = index.term_stats.join(F.broadcast(terms.select("term").distinct()), "term")
-    matched = matched.join(F.broadcast(stats), "term")
-    matched = matched.crossJoin(F.broadcast(index.corpus_stats))
-    contribution = (
-        idf_col(F.col("n_docs").cast("double"), F.col("df").cast("double"))
-        * tfnorm_col(F.col("tf").cast("double"), F.col("doc_len").cast("double"), F.col("avgdl"))
+    enriched = (
+        terms.join(F.broadcast(stats), "term")
+        .crossJoin(F.broadcast(index.corpus_stats))
+        .select(
+            "query_id",
+            "term",
+            idf_col(F.col("n_docs").cast("double"), F.col("df").cast("double")).alias(
+                "idf"
+            ),
+            "avgdl",
+        )
+    )
+    matched = index.postings.join(F.broadcast(enriched), "term")
+    contribution = F.col("idf") * tfnorm_col(
+        F.col("tf").cast("double"), F.col("doc_len").cast("double"), F.col("avgdl")
     )
     return matched.select(
         "query_id", "doc_id", "term", contribution.alias("contribution")

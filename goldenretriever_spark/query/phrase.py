@@ -136,17 +136,41 @@ def phrase_match_stored_batch(
     n_term_buckets: int | None = None,
 ) -> DataFrame:
     """Batched :func:`phrase_match_stored`: one bucket-prune over the UNION
-    of the batch's terms, one decode, one vote — P phrases, one scan."""
+    of the batch's terms, one fused decode+vote, one exchange — P phrases,
+    one scan.
+
+    r7 plan (guide §2.4/§4.2): the worker emits start-votes directly
+    (positions.decode_phrase_votes — no term strings back to the JVM, no
+    broadcast join), then ONE ``repartition(query_id, doc_id)`` feeds BOTH
+    vote aggregations exchange-free: hash-partitioning on (query_id,
+    doc_id) satisfies the clustered distribution of the (query_id, doc_id,
+    start) grouping AND of the final (query_id, doc_id) rollup, so the r6
+    plan's two agg exchanges collapse into one. The n_need check is a
+    literal map lookup instead of a broadcast join. Row multiset into the
+    first agg is identical to the join-based plan (identity pytest)."""
     from goldenretriever_spark.index.positions import (
-        decode_positions,
+        decode_phrase_votes,
         prune_blocks_for_terms,
     )
 
     if not phrases:
         raise ValueError("phrases must be non-empty")
+    if any(not ph for _, ph in phrases):
+        raise ValueError("phrase must be non-empty")
     all_terms = sorted({t for _, ph in phrases for t in ph})
     pruned = prune_blocks_for_terms(positional_blocks, all_terms, n_term_buckets)
-    return phrase_match_postings_batch(decode_positions(pruned), phrases)
+    votes = decode_phrase_votes(pruned, phrases)
+    need_map = F.create_map(
+        *[lit for qid, ph in phrases for lit in (F.lit(qid), F.lit(len(ph)))]
+    )
+    return (
+        votes.repartition("query_id", "doc_id")
+        .groupBy("query_id", "doc_id", "start")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == need_map[F.col("query_id")])
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("occurrences"))
+    )
 
 
 def phrase_match(
@@ -181,18 +205,13 @@ def phrase_match_stored(
     pruning + term filter touch only the phrase terms' posting blocks; the
     corpus is never scanned or re-tokenized. Same ``(doc_id, occurrences)``
     contract as :func:`phrase_match` (identity-tested in
-    tests/test_positions.py)."""
-    from goldenretriever_spark.index.positions import (
-        decode_positions,
-        prune_blocks_for_terms,
-    )
-
+    tests/test_positions.py). Thin wrapper over the batched fused
+    decode+vote path (see :func:`phrase_match_stored_batch`)."""
     if not phrase:
         raise ValueError("phrase must be non-empty")
-    pruned = prune_blocks_for_terms(
-        positional_blocks, sorted(set(phrase)), n_term_buckets
-    )
-    return phrase_match_postings(decode_positions(pruned), phrase)
+    return phrase_match_stored_batch(
+        positional_blocks, [(0, phrase)], n_term_buckets=n_term_buckets
+    ).select("doc_id", "occurrences")
 
 
 def _occurrences_expr(tk: Column, phrase: list[str]) -> Column:

@@ -36,13 +36,20 @@ from pyspark.sql import functions as F
 from goldenretriever_spark.index.build import B, K1
 from goldenretriever_spark.query.bm25 import idf_col, query_terms_df
 
-DECODED_SCHEMA = "query_id long, term string, idf double, doc_id long, tf long, doc_len long"
+def _decode_scored(matched: DataFrame, avgdl: float) -> DataFrame:
+    """(query_id, term, idf, blobs) -> (query_id, doc_id, score) with exact
+    BM25 sums. Blocks are self-contained (dls stored varint alongside tfs),
+    so scoring needs no join back to doc_stats.
 
-
-def _decode_matched(matched: DataFrame) -> DataFrame:
-    """(query_id, term, idf, blobs) -> exploded (query_id, term, idf, doc_id,
-    tf, doc_len). Blocks are self-contained (dls stored varint alongside tfs),
-    so scoring needs no join back to doc_stats."""
+    r7 shape (guide §4.2): the per-posting contribution idf * tf/(tf +
+    k1*(1-b+b*dl/avgdl)) is computed INSIDE the decode worker with whole-
+    array numpy — the same IEEE-754 operation sequence as the previous
+    Catalyst expression, so each contribution is bit-identical — and only
+    three narrow columns (query_id, doc_id, c) cross Arrow back to the JVM
+    instead of six (term strings, idf, tf, doc_len dropped). The JVM side
+    is just the map-side-combinable sum. Summation order across terms was
+    already partition-arbitrary before; the engine-wide x10000 quantization
+    absorbs it (rank-identity suite + oracle hashes unchanged)."""
     from goldenretriever_spark.index.codec import (
         delta_decode_grouped,
         varint_decode_many,
@@ -63,29 +70,22 @@ def _decode_matched(matched: DataFrame) -> DataFrame:
                 continue
             tfs, _ = varint_decode_many([bytes(x) for x in pdf["tfs_varint"]])
             dls, _ = varint_decode_many([bytes(x) for x in pdf["dls_varint"]])
+            idfs = np.repeat(pdf["idf"].to_numpy(np.float64), counts)
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            c = idfs * (tf / (tf + K1 * (1.0 - B + B * dl / avgdl)))
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(pdf["query_id"].to_numpy(np.int64), counts),
-                    "term": np.repeat(pdf["term"].to_numpy(), counts),
-                    "idf": np.repeat(pdf["idf"].to_numpy(np.float64), counts),
                     "doc_id": ids,
-                    "tf": tfs.astype(np.int64),
-                    "doc_len": dls.astype(np.int64),
+                    "c": c,
                 }
             )
 
-    cols = ["query_id", "term", "idf", "doc_ids_delta_varint", "tfs_varint", "dls_varint"]
-    return matched.select(*cols).mapInPandas(unpack, schema=DECODED_SCHEMA)
-
-
-def _exact_scores(decoded: DataFrame, avgdl: float) -> DataFrame:
-    """decoded postings -> (query_id, doc_id, score) with exact BM25 sums."""
-    contribution = F.col("idf") * (
-        F.col("tf")
-        / (F.col("tf") + K1 * (1.0 - B + B * F.col("doc_len").cast("double") / F.lit(avgdl)))
-    )
+    cols = ["query_id", "idf", "doc_ids_delta_varint", "tfs_varint", "dls_varint"]
     return (
-        decoded.withColumn("c", contribution)
+        matched.select(*cols)
+        .mapInPandas(unpack, schema="query_id long, doc_id long, c double")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score"))
     )
@@ -124,7 +124,7 @@ def stored_score_candidates(
     matched = posting_blocks.join(F.broadcast(qterms), "term").withColumn(
         "idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double"))
     )
-    return _exact_scores(_decode_matched(matched), avgdl)
+    return _decode_scored(matched, avgdl)
 
 
 def brute_top_k_stored(
@@ -477,13 +477,15 @@ def wand_top_k(
     blobs = posting_blocks.select(*blob_cols)
 
     def decode_keys(keys: DataFrame, broadcast_keys: bool) -> DataFrame:
-        """(query_id, term, idf, block_id) -> decoded postings, joining the
-        blob columns back from the (bucket-pruned) blocks scan. Seed keys are
-        tiny -> broadcast; survivor keys can be large -> let AQE choose."""
+        """(query_id, term, idf, block_id) -> (query_id, doc_id, score),
+        joining the blob columns back from the (bucket-pruned) blocks scan
+        and fusing decode + BM25 scoring in one worker pass
+        (:func:`_decode_scored`). Seed keys are tiny -> broadcast; survivor
+        keys can be large -> let AQE choose."""
         sel = keys.select("query_id", "term", "idf", "block_id")
         if broadcast_keys:
             sel = F.broadcast(sel)
-        return _decode_matched(blobs.join(sel, ["term", "block_id"]))
+        return _decode_scored(blobs.join(sel, ["term", "block_id"]), avgdl)
 
     try:
         # per-(query, term) best possible block bound
@@ -502,7 +504,7 @@ def wand_top_k(
             )
             .filter(F.coalesce(F.col("cum_n"), F.lit(0)) < seed_factor * k)
         )
-        seed_scores = _exact_scores(decode_keys(seed_blocks, broadcast_keys=True), avgdl)
+        seed_scores = decode_keys(seed_blocks, broadcast_keys=True)
         w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
         # θ is tiny (≤1 row per query) — collect it eagerly; this also
         # populates the meta cache before phase 2 reuses it
@@ -524,7 +526,7 @@ def wand_top_k(
             .withColumn("bound", F.col("ub") + (F.col("sum_max_ub") - F.col("max_ub")))
             .filter(F.col("theta").isNull() | (F.col("bound") >= F.col("theta")))
         )
-        scores = _exact_scores(decode_keys(survivors, broadcast_keys=False), avgdl)
+        scores = decode_keys(survivors, broadcast_keys=False)
         result = (
             scores.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k)
