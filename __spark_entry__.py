@@ -280,17 +280,27 @@ PHRASE_QUERIES: list[tuple[int, list[str]]] = [
 ]
 
 
+_POS_BLOCKS_MEMO: dict[str, DataFrame] = {}
+
+
 def _positional_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packed positional blocks over the driver corpus (index/positions.py),
     cached so multi-phrase contract queries pack once. At production scale
     these are persisted by write_index(positional=...) and read back via
     StoredIndex — here the driver re-derives them per query run, exercising
-    the same pack -> prune -> decode -> match path end-to-end."""
+    the same pack -> prune -> decode -> match path end-to-end.
+
+    Memoized per sf_dir (ADVICE r6): the three positional contract queries
+    (_ir_phrase_match / _ir_proximity_match / _ir_phrase_ranked_topk) now
+    share ONE cached copy instead of each holding its own."""
+    memo = _POS_BLOCKS_MEMO.get(sf_dir)
+    if memo is not None:
+        return memo
     from goldenretriever_spark.index.positions import pack_positional_blocks
 
-    return pack_positional_blocks(
-        _documents(spark, sf_dir), tokenizer="simple"
-    ).cache()
+    blocks = pack_positional_blocks(_documents(spark, sf_dir), tokenizer="simple").cache()
+    _POS_BLOCKS_MEMO[sf_dir] = blocks
+    return blocks
 
 
 def _ir_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:

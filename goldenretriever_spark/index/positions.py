@@ -391,18 +391,13 @@ def prune_blocks_for_terms(
     ``term_bucket`` isin filter prunes PARTITION DIRECTORIES (only the
     buckets holding query terms are ever listed/read — the reason the layout
     partitions by term_bucket), then the term equi-filter prunes rows via
-    parquet min/max. The bucket ids come from one tiny driver-side job so
-    build-time and query-time hashing cannot drift."""
+    parquet min/max. Bucket ids come from the pytest-locked driver-side
+    XXH64 twin (goldenretriever_spark/xxh64.py) — zero Spark jobs; the r6
+    one-row createDataFrame+collect job cost ~100 ms per call."""
     if terms and n_term_buckets and "term_bucket" in blocks.columns:
-        spark = blocks.sparkSession
-        buckets = [
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t in terms], "term string")
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        blocks = blocks.filter(F.col("term_bucket").isin(buckets))
+        from goldenretriever_spark.xxh64 import term_buckets
+
+        blocks = blocks.filter(
+            F.col("term_bucket").isin(term_buckets(terms, n_term_buckets))
+        )
     return blocks.filter(F.col("term").isin(list(terms)))

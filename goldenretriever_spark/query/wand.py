@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from goldenretriever_spark.index.build import B, K1
 from goldenretriever_spark.query.bm25 import idf_col, query_terms_df
 
-def _decode_scored(matched: DataFrame, avgdl: float) -> DataFrame:
+def _decode_scored(matched: DataFrame, avgdl: float, allowed_bc=None) -> DataFrame:
     """(query_id, term, idf, blobs) -> (query_id, doc_id, score) with exact
     BM25 sums. Blocks are self-contained (dls stored varint alongside tfs),
     so scoring needs no join back to doc_stats.
@@ -49,7 +49,14 @@ def _decode_scored(matched: DataFrame, avgdl: float) -> DataFrame:
     instead of six (term strings, idf, tf, doc_len dropped). The JVM side
     is just the map-side-combinable sum. Summation order across terms was
     already partition-arbitrary before; the engine-wide x10000 quantization
-    absorbs it (rank-identity suite + oracle hashes unchanged)."""
+    absorbs it (rank-identity suite + oracle hashes unchanged).
+
+    ``allowed_bc``: optional broadcast of a SORTED int64 numpy array of
+    allowed doc_ids (boolean filter pushdown, query/boolean.filtered_top_k).
+    Decoded postings outside the set are dropped IN the worker — a selective
+    filter cuts the Arrow return, the shuffle and the aggregation to the
+    qualifying docs instead of only post-score rows (searchsorted
+    membership: no false positives/negatives, so scores are unchanged)."""
     from goldenretriever_spark.index.codec import (
         delta_decode_grouped,
         varint_decode_many,
@@ -59,6 +66,7 @@ def _decode_scored(matched: DataFrame, avgdl: float) -> DataFrame:
         # grouped decode: ONE vectorized varint pass per column per Arrow
         # batch instead of three numpy calls per block row — the unpruned
         # scan decodes ~10^6 block rows, where per-call overhead dominated
+        allowed = allowed_bc.value if allowed_bc is not None else None
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -71,16 +79,21 @@ def _decode_scored(matched: DataFrame, avgdl: float) -> DataFrame:
             tfs, _ = varint_decode_many([bytes(x) for x in pdf["tfs_varint"]])
             dls, _ = varint_decode_many([bytes(x) for x in pdf["dls_varint"]])
             idfs = np.repeat(pdf["idf"].to_numpy(np.float64), counts)
+            qids = np.repeat(pdf["query_id"].to_numpy(np.int64), counts)
+            if allowed is not None:
+                if allowed.size == 0:
+                    continue
+                pos = np.searchsorted(allowed, ids)
+                pos_c = np.minimum(pos, allowed.size - 1)
+                keep = (pos < allowed.size) & (allowed[pos_c] == ids)
+                if not keep.any():
+                    continue
+                ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                idfs, qids = idfs[keep], qids[keep]
             tf = tfs.astype(np.float64)
             dl = dls.astype(np.float64)
             c = idfs * (tf / (tf + K1 * (1.0 - B + B * dl / avgdl)))
-            yield pd.DataFrame(
-                {
-                    "query_id": np.repeat(pdf["query_id"].to_numpy(np.int64), counts),
-                    "doc_id": ids,
-                    "c": c,
-                }
-            )
+            yield pd.DataFrame({"query_id": qids, "doc_id": ids, "c": c})
 
     cols = ["query_id", "idf", "doc_ids_delta_varint", "tfs_varint", "dls_varint"]
     return (
@@ -89,6 +102,26 @@ def _decode_scored(matched: DataFrame, avgdl: float) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score"))
     )
+
+
+def _bucket_ids(
+    queries, tokenizer: str, qterms: DataFrame, n_term_buckets: int
+) -> list[int]:
+    """Distinct term_bucket ids for a query batch. List-typed batches use
+    the pytest-locked driver-side XXH64 twin (goldenretriever_spark/xxh64.py)
+    — zero Spark jobs; DataFrame batches fall back to one tiny distinct+
+    collect over qterms (term set unknown on the driver)."""
+    toksets = _driver_side_toksets(queries, tokenizer)
+    if toksets is not None:
+        from goldenretriever_spark.xxh64 import term_buckets
+
+        return term_buckets({t for ts in toksets.values() for t in ts}, n_term_buckets)
+    return [
+        r["b"]
+        for r in qterms.select(
+            F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
+        ).distinct().collect()
+    ]
 
 
 def stored_score_candidates(
@@ -100,13 +133,15 @@ def stored_score_candidates(
     n_term_buckets: int | None = None,
     qterms: DataFrame | None = None,
     stats: tuple[int, float] | None = None,
+    allowed_bc=None,
 ) -> DataFrame:
     """(query_id, doc_id, score) over EVERY candidate doc from the stored
     compressed blocks — the stored-path twin of bm25.score_candidates:
     bucket-prune, decode the query terms' blocks, exact BM25 sums, no rank
     cut. Consumers that need the full candidate scores (phrase-boosted
     ranking, explain-style attribution) build on this; brute_top_k_stored
-    is exactly this + a window top-k."""
+    is exactly this + a window top-k. ``allowed_bc``: boolean-filter doc-id
+    pushdown, see :func:`_decode_scored`."""
     if stats is None:
         row = corpus_stats.collect()[0]
         stats = (int(row["n_docs"]), float(row["avgdl"]))
@@ -114,17 +149,15 @@ def stored_score_candidates(
     if qterms is None:
         qterms = query_terms_df(spark, queries, tokenizer)
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
-        buckets = [
-            r["b"]
-            for r in qterms.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
-            ).distinct().collect()
-        ]
-        posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+        posting_blocks = posting_blocks.filter(
+            F.col("term_bucket").isin(
+                _bucket_ids(queries, tokenizer, qterms, n_term_buckets)
+            )
+        )
     matched = posting_blocks.join(F.broadcast(qterms), "term").withColumn(
         "idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double"))
     )
-    return _decode_scored(matched, avgdl)
+    return _decode_scored(matched, avgdl, allowed_bc=allowed_bc)
 
 
 def brute_top_k_stored(
@@ -137,6 +170,7 @@ def brute_top_k_stored(
     n_term_buckets: int | None = None,
     qterms: DataFrame | None = None,
     stats: tuple[int, float] | None = None,
+    allowed_bc=None,
 ) -> DataFrame:
     """Exact top-k over the STORED index with NO pruning: decode every block
     of every query term, score, rank. This is the baseline wand_top_k must
@@ -149,6 +183,7 @@ def brute_top_k_stored(
     scores = stored_score_candidates(
         spark, posting_blocks, corpus_stats, queries, tokenizer=tokenizer,
         n_term_buckets=n_term_buckets, qterms=qterms, stats=stats,
+        allowed_bc=allowed_bc,
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -233,8 +268,15 @@ def dispatch_top_k(
     crossover_rows: int | None = None,
     split: bool = False,
     stats: tuple[int, float] | None = None,
+    allowed_bc=None,
+    term_df_cache: dict | None = None,
 ) -> tuple[DataFrame, dict]:
     """Top-k over the stored index with brute-stored vs WAND auto-dispatch.
+
+    ``allowed_bc`` (boolean-filter doc-id pushdown, see
+    :func:`_decode_scored`) threads through whichever path is routed, so a
+    filtered query reuses the measured brute/WAND dispatch unchanged
+    (query/boolean.filtered_top_k).
 
     Always returns ``(result, plan)`` — the stable-shape API (ADVICE r4);
     ``top_k_auto`` is the thin wrapper for callers that only want the frame.
@@ -289,21 +331,25 @@ def dispatch_top_k(
 
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
         if toksets is not None:
-            # distinct terms known driver-side -> one tiny createDataFrame,
-            # no tokenize/dedup shuffle just to learn the bucket list
-            uniq = sorted({t for ts in toksets.values() for t in ts})
-            bsrc = spark.createDataFrame([(t,) for t in uniq], "term string")
+            # distinct terms known driver-side -> bucket ids from the
+            # XXH64 twin (xxh64.py), zero Spark jobs
+            from goldenretriever_spark.xxh64 import term_buckets
+
+            buckets = term_buckets(
+                {t for ts in toksets.values() for t in ts}, n_term_buckets
+            )
         else:
             qterms_all = query_terms_df(spark, queries, tokenizer).localCheckpoint(
                 eager=True
             )
-            bsrc = qterms_all
-        buckets = [
-            r["b"]
-            for r in bsrc.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
-            ).distinct().collect()
-        ]
+            buckets = [
+                r["b"]
+                for r in qterms_all.select(
+                    F.pmod(F.xxhash64("term"), F.lit(n_term_buckets))
+                    .cast("int")
+                    .alias("b")
+                ).distinct().collect()
+            ]
         pruned = posting_blocks.filter(F.col("term_bucket").isin(buckets))
     else:
         pruned = posting_blocks
@@ -333,18 +379,43 @@ def dispatch_top_k(
         out = brute_top_k_stored(
             spark, pruned, corpus_stats, queries, k=k,
             tokenizer=tokenizer, n_term_buckets=None, qterms=qterms_all, stats=stats,
+            allowed_bc=allowed_bc,
         )
         return out, plan
 
-    if qterms_all is None:
+    if qterms_all is None and (toksets is None or term_df_cache is None):
         # several consumers from here (probe + routed paths) -> materialize
         qterms_all = query_terms_df(spark, queries, tokenizer).localCheckpoint(
             eager=True
         )
-    est_rows = {
-        r["query_id"]: int(r["est_rows"])
-        for r in estimate_decode_rows(pruned, qterms_all).collect()
-    }
+    if toksets is not None and term_df_cache is not None:
+        # per-handle df memo (VERDICT r6 #4): probe ONLY terms not yet seen
+        # by this handle — a repeated term vocabulary (interactive serve,
+        # the hybrid lexical leg) pays the metadata probe once, later calls
+        # route with zero probe jobs. Missing terms are cached as df=0,
+        # matching estimate_decode_rows' left-join coalesce semantics.
+        unknown = sorted(
+            {t for ts in toksets.values() for t in ts} - term_df_cache.keys()
+        )
+        if unknown:
+            found = {
+                r["term"]: int(r["df"])
+                for r in pruned.select("term", "df")
+                .filter(F.col("term").isin(unknown))
+                .groupBy("term")
+                .agg(F.first("df").alias("df"))
+                .collect()
+            }
+            for t in unknown:
+                term_df_cache[t] = found.get(t, 0)
+        est_rows = {
+            qid: sum(term_df_cache[t] for t in ts) for qid, ts in toksets.items()
+        }
+    else:
+        est_rows = {
+            r["query_id"]: int(r["est_rows"])
+            for r in estimate_decode_rows(pruned, qterms_all).collect()
+        }
     above = [q for q, v in est_rows.items() if v >= crossover_rows]
     below = [q for q, v in est_rows.items() if v < crossover_rows]
     vals = list(est_rows.values())
@@ -370,13 +441,14 @@ def dispatch_top_k(
         return wand_top_k(
             spark, pruned, corpus_stats, queries, k=k,
             tokenizer=tokenizer, seed_factor=seed_factor, n_term_buckets=None,
-            qterms=qt, stats=stats,
+            qterms=qt, stats=stats, allowed_bc=allowed_bc,
         )
 
     def run_brute(qt: DataFrame) -> DataFrame:
         return brute_top_k_stored(
             spark, pruned, corpus_stats, queries, k=k,
             tokenizer=tokenizer, n_term_buckets=None, qterms=qt, stats=stats,
+            allowed_bc=allowed_bc,
         )
 
     if not split or not above or not below:
@@ -389,6 +461,8 @@ def dispatch_top_k(
         plan["path"] = "brute_stored"
         return run_brute(qterms_all), plan
     plan["path"] = "split"
+    if qterms_all is None:
+        qterms_all = query_terms_df(spark, queries, tokenizer)
     wand_out = run_wand(qterms_all.filter(F.col("query_id").isin(above)))
     brute_out = run_brute(qterms_all.filter(F.col("query_id").isin(below)))
     return wand_out.unionByName(brute_out), plan
@@ -430,8 +504,16 @@ def wand_top_k(
     n_term_buckets: int | None = None,
     qterms: DataFrame | None = None,
     stats: tuple[int, float] | None = None,
+    allowed_bc=None,
 ) -> DataFrame:
     """Top-k per query over the compressed index; rank-identical to brute force.
+
+    ``allowed_bc`` (boolean-filter pushdown, see :func:`_decode_scored`)
+    restricts BOTH decode phases to the allowed doc set: θ is then the kth
+    best FILTERED partial score — a valid pruning threshold for ranking over
+    the filtered candidates by the same lower-bound argument as the
+    unfiltered proof — so the result is the filtered top-k, rank-identical
+    to the brute filtered path (tests/test_round7.py).
 
     ``n_term_buckets`` must be the BUILD-time bucket count — pass
     ``StoredIndex(spark, path).n_term_buckets`` (persisted in the index's
@@ -452,13 +534,11 @@ def wand_top_k(
 
     if n_term_buckets and "term_bucket" in posting_blocks.columns:
         # partition pruning: only scan buckets that contain a query term
-        buckets = [
-            r["b"]
-            for r in qterms.select(
-                F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int").alias("b")
-            ).distinct().collect()
-        ]
-        posting_blocks = posting_blocks.filter(F.col("term_bucket").isin(buckets))
+        posting_blocks = posting_blocks.filter(
+            F.col("term_bucket").isin(
+                _bucket_ids(queries, tokenizer, qterms, n_term_buckets)
+            )
+        )
 
     # metadata-only plan: the cached frame carries block STATS, never the
     # varint blobs — at 10^12-file scale the matched blobs of one hot term
@@ -485,7 +565,9 @@ def wand_top_k(
         sel = keys.select("query_id", "term", "idf", "block_id")
         if broadcast_keys:
             sel = F.broadcast(sel)
-        return _decode_scored(blobs.join(sel, ["term", "block_id"]), avgdl)
+        return _decode_scored(
+            blobs.join(sel, ["term", "block_id"]), avgdl, allowed_bc=allowed_bc
+        )
 
     try:
         # per-(query, term) best possible block bound

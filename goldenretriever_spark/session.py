@@ -63,6 +63,19 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle compression is a NETWORK/disk-bandwidth trade (guide §2.3).
+        # In pure local[N] mode shuffle blocks never cross a NIC and live in
+        # the page cache, so lz4 is pure CPU overhead — measured ~15-20% off
+        # the pack rows (OPTIMIZATION_r07.md confsweep). Any distributed
+        # master (local-cluster, standalone, yarn, k8s) keeps compression ON;
+        # override either way with SPARK_GRAFT_SHUFFLE_COMPRESS=true/false.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_COMPRESS",
+                "false" if master.startswith("local[") else "true",
+            ),
+        )
         # CPU-heavy per-row work (tokenize+explode) needs more input splits
         # than the 128MB default gives on small-ish files
         .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
