@@ -103,13 +103,24 @@ def pack_positions(
     spark = rows.sparkSession
     P = pack_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    # Only terms hot enough to need MORE than one salt group matter to the
+    # salt computation (cf < target -> ceil(cf/target) = 1 -> salt 0), and
+    # those are the vocabulary HEAD — a handful of rows. Broadcasting just
+    # the hot slice instead of the full vocab-sized cf frame keeps the
+    # per-row probe against a tiny map and the broadcast build O(hot terms)
+    # (r7, guide §3.1; the full-cf aggregate still runs once to FIND the
+    # hot terms, but never ships per-row).
+    hot_cf = cf.filter(F.col("cf") >= target_positions_per_group)
     enriched = (
-        rows.join(F.broadcast(cf), "term")
+        rows.join(F.broadcast(hot_cf), "term", "left")
         .withColumn(
             "n_salts",
             F.least(
                 F.lit(MAX_SALTS),
-                F.ceil(F.col("cf") / F.lit(target_positions_per_group)),
+                F.coalesce(
+                    F.ceil(F.col("cf") / F.lit(target_positions_per_group)),
+                    F.lit(1),
+                ),
             ).cast("int"),
         )
         .withColumn(
@@ -379,6 +390,66 @@ def decode_phrase_votes(
 
     return blocks.select(*cols).mapInPandas(
         gen, schema="query_id long, doc_id long, start long"
+    )
+
+
+def decode_position_codes(blocks: DataFrame, terms: list[str]) -> DataFrame:
+    """Positional blocks -> (code, doc_id, pos) rows where ``code`` is the
+    index of the block's term in ``terms`` — the stored proximity path's
+    decode (query/phrase.proximity_match_stored). Same vectorized decode as
+    :func:`decode_positions`, but an int term code crosses Arrow instead of
+    a repeated term string (r7, guide §4.2); rows whose term is not in
+    ``terms`` are dropped (the pruned scan normally contains none)."""
+    code_of = {t: i for i, t in enumerate(terms)}
+    cols = [
+        "term",
+        "doc_ids_delta_varint",
+        "pos_counts_varint",
+        "positions_delta_varint",
+    ]
+
+    def unpack(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            id_deltas, docs_per_block = varint_decode_many(
+                [bytes(b) for b in pdf["doc_ids_delta_varint"]]
+            )
+            docs_per_block = docs_per_block.astype(np.int64)
+            ids = delta_decode_grouped(id_deltas, docs_per_block)
+            cnts, _ = varint_decode_many([bytes(b) for b in pdf["pos_counts_varint"]])
+            cnts_i = cnts.astype(np.int64)
+            pos_deltas, _ = varint_decode_many(
+                [bytes(b) for b in pdf["positions_delta_varint"]]
+            )
+            positions = delta_decode_grouped(pos_deltas, cnts_i)
+            doc_per_pos = np.repeat(ids, cnts_i)
+            if doc_per_pos.size == 0:
+                continue
+            block_doc_starts = np.zeros(docs_per_block.size, dtype=np.int64)
+            np.cumsum(docs_per_block[:-1], out=block_doc_starts[1:])
+            pos_per_block = np.add.reduceat(cnts_i, block_doc_starts)
+            codes_per_block = np.array(
+                [code_of.get(t, -1) for t in pdf["term"]], dtype=np.int64
+            )
+            code_per_pos = np.repeat(codes_per_block, pos_per_block)
+            keep = code_per_pos >= 0
+            if not keep.all():
+                code_per_pos = code_per_pos[keep]
+                doc_per_pos = doc_per_pos[keep]
+                positions = positions[keep]
+            if doc_per_pos.size == 0:
+                continue
+            yield pd.DataFrame(
+                {
+                    "code": code_per_pos,
+                    "doc_id": doc_per_pos,
+                    "pos": positions.astype(np.int64),
+                }
+            )
+
+    return blocks.select(*cols).mapInPandas(
+        unpack, schema="code long, doc_id long, pos long"
     )
 
 

@@ -57,7 +57,11 @@ def query_terms_df(spark: SparkSession, queries, tokenizer: str = "simple") -> D
         for qid, qstr in queries
         for t in dict.fromkeys(tokenize(qstr, tokenizer))
     ]
-    return spark.createDataFrame(rows, "query_id long, term string")
+    out = spark.createDataFrame(rows, "query_id long, term string")
+    # batch-width hint for downstream plan selection (top_k's shared
+    # agg/window exchange) — driver-known for list batches, absent otherwise
+    out._gr_n_queries = len({qid for qid, _ in queries})
+    return out
 
 
 def idf_col(n_docs: Column, df: Column) -> Column:
@@ -129,8 +133,29 @@ def top_k(index: InvertedIndex, terms: DataFrame, k: int = 10) -> DataFrame:
 
     For a single query this collapses to TakeOrderedAndProject via
     orderBy().limit(k); the window form handles query batches in one pass.
+
+    Wide batches (r7, guide §2.4): when the batch is at least as wide as
+    the shuffle-partition count (driver-known via query_terms_df's hint),
+    an explicit ``repartition(query_id)`` BEFORE the aggregation lets the
+    (query_id, doc_id) hash-agg AND the per-query window share ONE
+    exchange — hash-partitioning on query_id satisfies both clusterings —
+    instead of agg-exchange + window-exchange. Narrow batches keep the
+    two-exchange plan: clustering a 1-query batch on query_id would
+    serialize its whole aggregation onto one task (the interactive-serve
+    case). Identical results either way — a pure plan change.
     """
-    scores = score_candidates(index, terms)
+    spark = terms.sparkSession
+    n_queries = getattr(terms, "_gr_n_queries", None)
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if n_queries is not None and n_queries >= P:
+        scores = (
+            explain_contributions(index, terms)
+            .repartition("query_id")
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("contribution").alias("score"))
+        )
+    else:
+        scores = score_candidates(index, terms)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         scores.withColumn("rank", F.row_number().over(w))

@@ -337,9 +337,19 @@ def proximity_match_stored(
 ) -> DataFrame:
     """Proximity match served from PERSISTED positional blocks — same
     bucket-pruned no-corpus-scan shape as :func:`phrase_match_stored`, same
-    ``(doc_id, n_windows)`` contract as :func:`proximity_match`."""
+    ``(doc_id, n_windows)`` contract as :func:`proximity_match` (identity
+    with the scan twin pytest-locked).
+
+    r7 plan (guide §2.4/§4.2): the decode emits int term CODES instead of
+    strings (positions.decode_position_codes — the pruned scan already
+    contains only the query terms, so the broadcast term join is gone), and
+    ONE ``repartition(doc_id)`` up front feeds the whole tail exchange-free:
+    the intersection-first candidate aggregate, its semi-join (both sides
+    share the repartition's exchange), the window-explode, the (doc_id,
+    start) distinct-term vote and the final per-doc rollup all cluster on
+    doc_id. The r6 plan paid three to four exchanges here."""
     from goldenretriever_spark.index.positions import (
-        decode_positions,
+        decode_position_codes,
         prune_blocks_for_terms,
     )
 
@@ -348,8 +358,35 @@ def proximity_match_stored(
         raise ValueError("terms must be non-empty")
     if window < 1:
         raise ValueError("window must be >= 1")
+    n = len(tset)
     pruned = prune_blocks_for_terms(positional_blocks, tset, n_term_buckets)
-    return proximity_match_postings(decode_positions(pruned), tset, window)
+    hits = decode_position_codes(pruned, tset).repartition("doc_id")
+    if n > 1:
+        # intersection-first pruning (see proximity_match_postings): shrink
+        # to docs containing ALL n terms before the W× window explode
+        cand = (
+            hits.groupBy("doc_id")
+            .agg(F.count_distinct("code").alias("_nt"))
+            .filter(F.col("_nt") == n)
+            .select("doc_id")
+        )
+        hits = hits.join(cand, "doc_id", "left_semi")
+    starts = hits.select(
+        "doc_id",
+        "code",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("pos") - (window - 1), F.lit(0)), F.col("pos")
+            )
+        ).alias("start"),
+    )
+    return (
+        starts.groupBy("doc_id", "start")
+        .agg(F.count_distinct("code").alias("n_hit"))
+        .filter(F.col("n_hit") == n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    )
 
 
 def proximity_match_scan(

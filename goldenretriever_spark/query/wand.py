@@ -36,7 +36,9 @@ from pyspark.sql import functions as F
 from goldenretriever_spark.index.build import B, K1
 from goldenretriever_spark.query.bm25 import idf_col, query_terms_df
 
-def _decode_scored(matched: DataFrame, avgdl: float, allowed_bc=None) -> DataFrame:
+def _decode_scored(
+    matched: DataFrame, avgdl: float, allowed_bc=None, repartition_q: bool = False
+) -> DataFrame:
     """(query_id, term, idf, blobs) -> (query_id, doc_id, score) with exact
     BM25 sums. Blocks are self-contained (dls stored varint alongside tfs),
     so scoring needs no join back to doc_stats.
@@ -96,12 +98,14 @@ def _decode_scored(matched: DataFrame, avgdl: float, allowed_bc=None) -> DataFra
             yield pd.DataFrame({"query_id": qids, "doc_id": ids, "c": c})
 
     cols = ["query_id", "idf", "doc_ids_delta_varint", "tfs_varint", "dls_varint"]
-    return (
-        matched.select(*cols)
-        .mapInPandas(unpack, schema="query_id long, doc_id long, c double")
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("c").alias("score"))
+    decoded = matched.select(*cols).mapInPandas(
+        unpack, schema="query_id long, doc_id long, c double"
     )
+    if repartition_q:
+        # wide-batch plan (see bm25.top_k): one query_id exchange serves
+        # both this aggregation and the caller's per-query window
+        decoded = decoded.repartition("query_id")
+    return decoded.groupBy("query_id", "doc_id").agg(F.sum("c").alias("score"))
 
 
 def _bucket_ids(
@@ -154,10 +158,21 @@ def stored_score_candidates(
                 _bucket_ids(queries, tokenizer, qterms, n_term_buckets)
             )
         )
+    n_queries = None
+    if not isinstance(queries, DataFrame) and queries is not None:
+        n_queries = len({qid for qid, _ in queries})
+    elif qterms is not None:
+        n_queries = getattr(qterms, "_gr_n_queries", None)
+    P = int(spark.conf.get("spark.sql.shuffle.partitions"))
     matched = posting_blocks.join(F.broadcast(qterms), "term").withColumn(
         "idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double"))
     )
-    return _decode_scored(matched, avgdl, allowed_bc=allowed_bc)
+    return _decode_scored(
+        matched,
+        avgdl,
+        allowed_bc=allowed_bc,
+        repartition_q=n_queries is not None and n_queries >= P,
+    )
 
 
 def brute_top_k_stored(

@@ -77,9 +77,18 @@ def get_spark(
             ),
         )
         # CPU-heavy per-row work (tokenize+explode) needs more input splits
-        # than the 128MB default gives on small-ish files
-        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
-        .config("spark.sql.files.openCostInBytes", str(1 * 1024 * 1024))
+        # than the 128MB default gives on small-ish files; 4MB/256KB measured
+        # best on the bench corpora (r7 split sweep, OPTIMIZATION_r07.md).
+        # Production sequential scans over 128MB+ parquet files should
+        # override toward 512MB-1GB (guide §6) via these env knobs.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(256 * 1024)),
+        )
     )
     if master.startswith("local-cluster"):
         # third bracket param is WORKER memory (MB); executor memory must fit
