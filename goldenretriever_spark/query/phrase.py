@@ -340,14 +340,18 @@ def proximity_match_stored(
     ``(doc_id, n_windows)`` contract as :func:`proximity_match` (identity
     with the scan twin pytest-locked).
 
-    r7 plan (guide §2.4/§4.2): the decode emits int term CODES instead of
-    strings (positions.decode_position_codes — the pruned scan already
-    contains only the query terms, so the broadcast term join is gone), and
-    ONE ``repartition(doc_id)`` up front feeds the whole tail exchange-free:
-    the intersection-first candidate aggregate, its semi-join (both sides
-    share the repartition's exchange), the window-explode, the (doc_id,
-    start) distinct-term vote and the final per-doc rollup all cluster on
-    doc_id. The r6 plan paid three to four exchanges here."""
+    r7 (guide §4.2): the decode emits int term CODES instead of strings
+    (positions.decode_position_codes), and the redundant broadcast term
+    join is gone — the pruned scan already contains only the query terms.
+    The exchange shape deliberately stays the r6 one (map-side-combinable
+    agg exchanges): a single up-front repartition(doc_id) feeding the
+    post-explode votes was tried and REVERTED — the W× window explode then
+    lands AFTER the only exchange, so each of the P tasks must aggregate
+    |positions|×W/P keys with no prior map-side reduction, which OOM'd at
+    the 3.84M-doc scale point on hot terms (Java heap, 32 tasks × ~25M
+    (doc, start) keys). Partial aggregation BEFORE each exchange is what
+    bounds per-task memory here (guide §2.3 'aggregate before you
+    shuffle')."""
     from goldenretriever_spark.index.positions import (
         decode_position_codes,
         prune_blocks_for_terms,
@@ -360,7 +364,7 @@ def proximity_match_stored(
         raise ValueError("window must be >= 1")
     n = len(tset)
     pruned = prune_blocks_for_terms(positional_blocks, tset, n_term_buckets)
-    hits = decode_position_codes(pruned, tset).repartition("doc_id")
+    hits = decode_position_codes(pruned, tset)
     if n > 1:
         # intersection-first pruning (see proximity_match_postings): shrink
         # to docs containing ALL n terms before the W× window explode
