@@ -143,6 +143,13 @@ def top_k(index: InvertedIndex, terms: DataFrame, k: int = 10) -> DataFrame:
     two-exchange plan: clustering a 1-query batch on query_id would
     serialize its whole aggregation onto one task (the interactive-serve
     case). Identical results either way — a pure plan change.
+
+    Scale note: this in-memory path is the modest-corpus oracle/eval
+    surface; the at-scale serving twin (wand.stored_score_candidates)
+    additionally bounds the per-query decode volume before choosing the
+    single-exchange plan (wand.WIDE_BATCH_MAX_ROWS_PER_QUERY), because
+    clustering huge per-query volumes on query_id measured slower at the
+    3.84M-doc scale point.
     """
     spark = terms.sparkSession
     n_queries = getattr(terms, "_gr_n_queries", None)

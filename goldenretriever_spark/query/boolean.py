@@ -209,6 +209,11 @@ def filtered_top_k(
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("doc_id"))
     if allowed_bc is not None:
+        # quantize=True: both dispatcher routes cut at k by the quantized
+        # tie discipline (WAND with a one-quantum θ slack), so this path
+        # returns EXACTLY the semi-join/oracle rows — verified at the
+        # 3.84M-doc scale point where quantized ties near the boundary are
+        # dense enough that a raw-score cut diverged (BENCH/R7_SCALE.json).
         ranked, _plan = dispatch_top_k(
             spark,
             posting_blocks,
@@ -219,17 +224,9 @@ def filtered_top_k(
             n_term_buckets=n_term_buckets,
             stats=stats,
             allowed_bc=allowed_bc,
+            quantize=True,
         )
-        # re-rank the ≤k surviving rows per query by the quantized tie
-        # discipline (the dispatcher cut uses the raw-score order; within
-        # the k rows the quantized re-rank matches the oracle)
-        return (
-            ranked.withColumn(
-                "score_q", F.round(F.col("score") * 10000).cast("long")
-            )
-            .withColumn("rank", F.row_number().over(w))
-            .select("query_id", "doc_id", "score", "rank")
-        )
+        return ranked.select("query_id", "doc_id", "score", "rank")
 
     scored = stored_score_candidates(
         spark,

@@ -158,20 +158,31 @@ def stored_score_candidates(
                 _bucket_ids(queries, tokenizer, qterms, n_term_buckets)
             )
         )
-    n_queries = None
+    n_queries = max_terms = None
     if not isinstance(queries, DataFrame) and queries is not None:
-        n_queries = len({qid for qid, _ in queries})
+        toksets = _driver_side_toksets(queries, tokenizer)
+        n_queries = len(toksets)
+        max_terms = max((len(ts) for ts in toksets.values()), default=0)
     elif qterms is not None:
         n_queries = getattr(qterms, "_gr_n_queries", None)
     P = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Wide-batch single-exchange plan (see bm25.top_k) ONLY when the batch
+    # is wide AND the per-query decode volume is provably small: clustering
+    # on query_id gives at most n_queries parallel chunks with no map-side
+    # pre-aggregation, which LOST to the uniform (q,d) exchange at the
+    # 3.84M-doc scale point (BENCH/R7_SCALE.json qlen1 cell) while winning
+    # at bench scale. Bound: Σdf per query ≤ max_terms × n_docs, zero jobs.
+    wide = (
+        n_queries is not None
+        and n_queries >= P
+        and max_terms is not None
+        and max_terms * n_docs <= WIDE_BATCH_MAX_ROWS_PER_QUERY
+    )
     matched = posting_blocks.join(F.broadcast(qterms), "term").withColumn(
         "idf", idf_col(F.lit(float(n_docs)), F.col("df").cast("double"))
     )
     return _decode_scored(
-        matched,
-        avgdl,
-        allowed_bc=allowed_bc,
-        repartition_q=n_queries is not None and n_queries >= P,
+        matched, avgdl, allowed_bc=allowed_bc, repartition_q=wide
     )
 
 
@@ -186,9 +197,13 @@ def brute_top_k_stored(
     qterms: DataFrame | None = None,
     stats: tuple[int, float] | None = None,
     allowed_bc=None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Exact top-k over the STORED index with NO pruning: decode every block
-    of every query term, score, rank. This is the baseline wand_top_k must
+    of every query term, score, rank. ``quantize=True`` cuts at k by the
+    engine-wide x10000-quantized score with doc_id-asc ties (the oracle
+    discipline — used by filtered_top_k so its two plans agree exactly even
+    when quantized ties are dense near the k boundary). This is the baseline wand_top_k must
     beat — same storage, same decode path, identical results; the only
     difference is the θ-pruning machinery (tools/wand_crossover.py measures
     where pruning starts paying for itself). ``qterms`` lets a caller that
@@ -200,12 +215,23 @@ def brute_top_k_stored(
         n_term_buckets=n_term_buckets, qterms=qterms, stats=stats,
         allowed_bc=allowed_bc,
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    w_rank = Window.partitionBy("query_id").orderBy(*_rank_order(quantize))
     return (
         scores.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+def _rank_order(quantize: bool):
+    """Engine rank ordering: raw score by default; the x10000-quantized
+    long (oracle tie discipline) when ``quantize``."""
+    if quantize:
+        return (
+            F.desc(F.round(F.col("score") * 10000).cast("long")),
+            F.asc("doc_id"),
+        )
+    return (F.desc("score"), F.asc("doc_id"))
 
 
 # Measured brute-stored vs WAND crossover on the bench host, in estimated
@@ -233,6 +259,14 @@ WAND_CROSSOVER_DECODE_ROWS = 4_500_000
 # while forced WAND runs 50.0 s because the heavy half dominates runtime
 # (BENCH/WAND_MIXED.json). Overridable via $SPARK_GRAFT_WAND_HEAVY_SHARE.
 WAND_HEAVY_SHARE_MIN = 0.2
+
+# Wide-batch single-exchange scoring (repartition(query_id) serving both the
+# agg and the window) is only used when every query's decode volume is
+# provably under this bound — above it, per-query clustering concentrates
+# millions of rows on ≤n_queries tasks with no map-side combine and loses
+# to the uniform (q,d) exchange (measured both ways: ~10-15% win at sf0.1,
+# a loss at 3.84M docs — BENCH/R7_SCALE.json).
+WIDE_BATCH_MAX_ROWS_PER_QUERY = 2_000_000
 
 
 def estimate_decode_rows(posting_blocks: DataFrame, qterms: DataFrame) -> DataFrame:
@@ -285,6 +319,7 @@ def dispatch_top_k(
     stats: tuple[int, float] | None = None,
     allowed_bc=None,
     term_df_cache: dict | None = None,
+    quantize: bool = False,
 ) -> tuple[DataFrame, dict]:
     """Top-k over the stored index with brute-stored vs WAND auto-dispatch.
 
@@ -394,7 +429,7 @@ def dispatch_top_k(
         out = brute_top_k_stored(
             spark, pruned, corpus_stats, queries, k=k,
             tokenizer=tokenizer, n_term_buckets=None, qterms=qterms_all, stats=stats,
-            allowed_bc=allowed_bc,
+            allowed_bc=allowed_bc, quantize=quantize,
         )
         return out, plan
 
@@ -456,14 +491,14 @@ def dispatch_top_k(
         return wand_top_k(
             spark, pruned, corpus_stats, queries, k=k,
             tokenizer=tokenizer, seed_factor=seed_factor, n_term_buckets=None,
-            qterms=qt, stats=stats, allowed_bc=allowed_bc,
+            qterms=qt, stats=stats, allowed_bc=allowed_bc, quantize=quantize,
         )
 
     def run_brute(qt: DataFrame) -> DataFrame:
         return brute_top_k_stored(
             spark, pruned, corpus_stats, queries, k=k,
             tokenizer=tokenizer, n_term_buckets=None, qterms=qt, stats=stats,
-            allowed_bc=allowed_bc,
+            allowed_bc=allowed_bc, quantize=quantize,
         )
 
     if not split or not above or not below:
@@ -520,6 +555,7 @@ def wand_top_k(
     qterms: DataFrame | None = None,
     stats: tuple[int, float] | None = None,
     allowed_bc=None,
+    quantize: bool = False,
 ) -> DataFrame:
     """Top-k per query over the compressed index; rank-identical to brute force.
 
@@ -529,6 +565,14 @@ def wand_top_k(
     the filtered candidates by the same lower-bound argument as the
     unfiltered proof — so the result is the filtered top-k, rank-identical
     to the brute filtered path (tests/test_round7.py).
+
+    ``quantize=True`` ranks by the x10000-quantized score (oracle tie
+    discipline) AND relaxes the pruning threshold by one quantum (1e-4):
+    any doc able to enter the QUANTIZED top-k has raw score within 1e-4 of
+    the kth raw score, so θ−1e-4 keeps every such doc's blocks — the
+    quantized cut is then exact, not approximately the raw cut. Measured
+    necessary at 3.84M docs where quantized ties near the k boundary are
+    dense (BENCH/R7_SCALE.json filtered cell).
 
     ``n_term_buckets`` must be the BUILD-time bucket count — pass
     ``StoredIndex(spark, path).n_term_buckets`` (persisted in the index's
@@ -602,11 +646,14 @@ def wand_top_k(
             .filter(F.coalesce(F.col("cum_n"), F.lit(0)) < seed_factor * k)
         )
         seed_scores = decode_keys(seed_blocks, broadcast_keys=True)
-        w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        w_theta = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        w_rank = Window.partitionBy("query_id").orderBy(*_rank_order(quantize))
         # θ is tiny (≤1 row per query) — collect it eagerly; this also
         # populates the meta cache before phase 2 reuses it
         theta_sel = (
-            seed_scores.withColumn("rn", F.row_number().over(w_rank))
+            seed_scores.withColumn("rn", F.row_number().over(w_theta))
             .filter(F.col("rn") == k)
             .select("query_id", F.col("score").alias("theta"))
         )
@@ -621,7 +668,12 @@ def wand_top_k(
             .join(F.broadcast(theta), "query_id", "left")
             # bound for docs in this block: own ub + best-case of the other terms
             .withColumn("bound", F.col("ub") + (F.col("sum_max_ub") - F.col("max_ub")))
-            .filter(F.col("theta").isNull() | (F.col("bound") >= F.col("theta")))
+            # quantize mode: one-quantum slack so the quantized cut stays
+            # exact (see docstring); raw mode: the classic >= theta bound
+            .filter(
+                F.col("theta").isNull()
+                | (F.col("bound") >= F.col("theta") - F.lit(1e-4 if quantize else 0.0))
+            )
         )
         scores = decode_keys(survivors, broadcast_keys=False)
         result = (
